@@ -1,0 +1,61 @@
+"""madrona_learn_tpu: a TPU-native RL training framework.
+
+Brand-new implementation with the capabilities of madrona-learn (studied in
+SURVEY.md): fully on-device PPO over batched simulators with recurrent /
+attention actor-critics, GAE, EMA normalization, distributional critics, and
+population-based training — designed mesh-first for TPU pod slices.
+"""
+
+from .config import (
+    DiscreteActionsConfig,
+    ContinuousActionsConfig,
+    TrainConfig,
+    PBTConfig,
+    MeshConfig,
+    ParamExplore,
+    EvalConfig,
+)
+from .ops import (
+    DiscreteActionDistributions,
+    ContinuousActionDistributions,
+    EMAEstimate,
+    EMANormalizer,
+    Metric,
+    TrainingMetrics,
+)
+from .models import (
+    ActorCritic,
+    Backbone,
+    BackboneEncoder,
+    RecurrentBackboneEncoder,
+    BackboneShared,
+    BackboneSeparate,
+)
+from .utils import profile, aot_compile, cfg_jax_mem
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DiscreteActionsConfig",
+    "ContinuousActionsConfig",
+    "TrainConfig",
+    "PBTConfig",
+    "MeshConfig",
+    "ParamExplore",
+    "EvalConfig",
+    "DiscreteActionDistributions",
+    "ContinuousActionDistributions",
+    "EMAEstimate",
+    "EMANormalizer",
+    "Metric",
+    "TrainingMetrics",
+    "ActorCritic",
+    "Backbone",
+    "BackboneEncoder",
+    "RecurrentBackboneEncoder",
+    "BackboneShared",
+    "BackboneSeparate",
+    "profile",
+    "aot_compile",
+    "cfg_jax_mem",
+]

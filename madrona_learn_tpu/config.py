@@ -1,0 +1,199 @@
+"""Configuration dataclasses for the TPU-native trainer.
+
+Capability parity with the reference config surface (reference: cfg.py:9-142):
+action-space configs, PBT population config with hyperparameter search spaces,
+the main ``TrainConfig``, and ``EvalConfig``. Re-designed for a mesh-first TPU
+runtime: ``TrainConfig.mesh`` describes the device mesh the whole train step is
+sharded over (absent in the single-GPU reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Union
+
+import jax.numpy as jnp
+from flax.core import FrozenDict
+
+
+@dataclass(frozen=True)
+class DiscreteActionsConfig:
+    """Multi-head categorical action space (reference: cfg.py:9-10)."""
+
+    actions_num_buckets: List[int]
+
+
+@dataclass(frozen=True)
+class ContinuousActionsConfig:
+    """Tanh-mean / sigmoid-ranged-std normal action space (reference: cfg.py:13-16)."""
+
+    stddev_min: float
+    stddev_max: float
+    num_dims: int
+
+
+ActionsConfig = Union[DiscreteActionsConfig, ContinuousActionsConfig]
+
+
+class AlgoConfig:
+    """Base class for algorithm configs (reference: cfg.py:19-24)."""
+
+    def name(self) -> str:
+        raise NotImplementedError
+
+    def setup(self):
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class ParamExplore:
+    """PBT hyperparameter search space for one scalar (reference: cfg.py:27-45).
+
+    ``base * [min_scale, max_scale]`` is the resample range; sampling happens in
+    linear, log10 or ln space. Perturbation multiplies by U[perturb_rnd_min,
+    perturb_rnd_max], optionally clipped back to the range.
+    """
+
+    base: float
+    min_scale: float
+    max_scale: float
+    log10_scale: bool = False
+    ln_scale: bool = False
+    clip_perturb: bool = False
+    perturb_rnd_min: float = 0.8
+    perturb_rnd_max: float = 1.2
+
+    def __repr__(self):
+        if self.log10_scale:
+            space = "log10"
+        elif self.ln_scale:
+            space = "ln"
+        else:
+            space = "linear"
+        return (
+            f"ParamExplore({self.base * self.min_scale:g}.."
+            f"{self.base * self.max_scale:g}, {space}, "
+            f"perturb=[{self.perturb_rnd_min}, {self.perturb_rnd_max}])"
+        )
+
+
+@dataclass(frozen=True)
+class PBTConfig:
+    """Population-based-training config (reference: cfg.py:49-65).
+
+    ``self/cross/past_play_portion`` must sum to 1 and each carve out a slice of
+    the sim batch that is divisible by a whole number of matches.
+    """
+
+    num_teams: int
+    team_size: int
+    num_train_policies: int
+    num_past_policies: int
+    self_play_portion: float
+    cross_play_portion: float
+    past_play_portion: float
+    # A copy (cull or past-snapshot) only happens if the source policy's
+    # expected winrate over the destination exceeds this threshold.
+    policy_overwrite_threshold: float = 0.7
+    reward_hyper_params_explore: Dict[str, ParamExplore] = FrozenDict({})
+    # Speed/memory knob: force the rollout policy-chunk size.
+    rollout_policy_chunk_size_override: int = 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh for the whole resident train step (TPU-native addition).
+
+    ``data`` shards the sim batch (env/agent instances); ``policy`` shards the
+    PBT population (and its optimizer state).  ``data * policy`` must equal the
+    number of participating devices.  The degenerate (1, 1) mesh reproduces the
+    reference's single-device behavior.
+    """
+
+    data: int = 1
+    policy: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.policy
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Top-level training config (reference: cfg.py:68-127)."""
+
+    num_worlds: int
+    num_agents_per_world: int
+    num_updates: int
+    actions: Dict[str, ActionsConfig]
+    steps_per_update: int
+    lr: Union[float, ParamExplore]
+    algo: AlgoConfig
+    num_bptt_chunks: int
+    gamma: float
+    seed: int
+    metrics_buffer_size: int
+    baseline_policy_id: int = 0
+    custom_policy_ids: List[int] = field(default_factory=list)
+    gae_lambda: float = 1.0
+    pbt: Optional[PBTConfig] = None
+    mesh: MeshConfig = MeshConfig()
+    dreamer_v3_critic: bool = True
+    hlgauss_critic: bool = False
+    compute_advantages: bool = True
+    normalize_advantages: bool = True  # only if compute_advantages
+    normalize_returns: bool = True  # only if not compute_advantages
+    normalize_values: bool = False
+    filter_advantages: bool = False
+    importance_sample_trajectories: bool = False
+    importance_sample_num_minibatches: int = 0
+    value_normalizer_decay: float = 0.99999
+    max_advantage_est_decay: float = 0.99999
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def sim_batch_size(self) -> int:
+        return self.num_worlds * self.num_agents_per_world
+
+    def __repr__(self):
+        rep = ["TrainConfig:"]
+        for k, v in self.__dict__.items():
+            if k == "algo":
+                rep.append(f"  {v.name()}:")
+                for ak, av in self.algo.__dict__.items():
+                    rep.append(f"    {ak}: {av}")
+            elif k == "pbt":
+                if v is None:
+                    rep.append("  pbt: Disabled")
+                else:
+                    rep.append("  pbt:")
+                    for pk, pv in self.pbt.__dict__.items():
+                        rep.append(f"    {pk}: {pv}")
+            elif k == "compute_dtype":
+                names = {
+                    jnp.float32: "fp32",
+                    jnp.float16: "fp16",
+                    jnp.bfloat16: "bf16",
+                }
+                rep.append(f"  compute_dtype: {names.get(v, str(v))}")
+            else:
+                rep.append(f"  {k}: {v}")
+        return "\n".join(rep)
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Offline evaluation config (reference: cfg.py:130-142)."""
+
+    num_worlds: int
+    num_teams: int
+    team_size: int
+    num_eval_steps: int
+    actions: Dict[str, ActionsConfig]
+    reward_gamma: float
+    policy_dtype: jnp.dtype
+    eval_competitive: bool
+    use_deterministic_policy: bool = True
+    clear_fitness: bool = True
+    custom_policy_ids: List[int] = field(default_factory=list)

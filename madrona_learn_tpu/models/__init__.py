@@ -1,0 +1,20 @@
+from .common import LayerNorm, MLP
+from .lstm import LSTM
+from .attention import SelfAttention, EntitySelfAttentionNet
+from .critics import (
+    DenseLayerDiscreteActor,
+    DenseLayerCritic,
+    DreamerV3Critic,
+    HLGaussCritic,
+    HLGaussTwoPartCritic,
+    make_hlgauss_bins,
+    make_hlgauss_two_part_bins,
+)
+from .actor_critic import (
+    ActorCritic,
+    Backbone,
+    BackboneEncoder,
+    RecurrentBackboneEncoder,
+    BackboneShared,
+    BackboneSeparate,
+)

@@ -1,0 +1,131 @@
+"""Sim-order <-> policy-chunk-order batch reordering.
+
+During PBT rollouts every sim agent slot carries a policy assignment that can
+change each step (matchmaking). Policy inference wants each policy's agents
+batched contiguously so one vmap over fixed-size chunks serves the whole
+population. This module computes, entirely with static shapes, the gather
+index sets that move data between:
+
+- **sim order**: the flat ``[sim_batch_size]`` layout the simulator sees, and
+- **policy order**: ``[num_chunks, chunk_size]`` where each chunk holds agents
+  of exactly one policy (chunks are padded; a policy can own several chunks).
+
+Capability parity with the reference reorder machinery (reference:
+rollouts.py:137-168, 1107-1211), with a simpler construction: per-policy
+counts come from a ``bincount`` rather than sorted-run transition detection,
+which both reads better and avoids the scatter-with-OOB-sentinel dance.
+
+Packing scheme (identical guarantees to the reference): sort agents by
+assignment; each policy first fills ``floor(count/C)`` full chunks, packed
+densely from the front of the chunk array; each policy then owns exactly one
+reserved partial chunk at slot ``num_full_chunks_total + policy``. Worst case
+``B = ceil(N/C) + P - 1`` chunks, so the layout is static for any assignment
+pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+
+
+def compute_reorder_chunks(assignments: jax.Array, P: int, C: int, B: int):
+    """Build gather indices for policy-chunked batching.
+
+    Args:
+      assignments: ``[N]`` int array of policy ids in ``[0, P)``.
+      P: total number of policies.
+      C: chunk size (agents per policy chunk).
+      B: total number of chunks (must be >= ``ceil(N/C) + P - 1``).
+
+    Returns:
+      ``(to_policy_idxs [B, C], to_sim_idxs [N])``. ``to_policy_idxs`` gathers
+      sim-order data into chunk layout; empty slots point at the chunk's first
+      element (so a chunk only ever gathers its own policy's data), and fully
+      empty chunks hold the OOB sentinel ``N`` (resolved by clip-mode gathers).
+      ``to_sim_idxs`` gathers the flattened ``[B*C]`` chunk layout back to sim
+      order.
+    """
+    assert assignments.ndim == 1
+    N = assignments.shape[0]
+
+    sort_idxs = jnp.argsort(assignments)
+    sorted_assign = assignments[sort_idxs]
+
+    counts = jnp.bincount(assignments, length=P)
+    starts = jnp.cumsum(counts) - counts
+
+    num_full_chunks = counts // C
+    full_counts = num_full_chunks * C
+    full_cumsum = jnp.cumsum(full_counts)
+    full_starts = full_cumsum - full_counts
+
+    # One reserved partial chunk per policy, after all full chunks.
+    partial_base = full_cumsum[-1]
+    partial_starts = (
+        partial_base + jnp.arange(P, dtype=counts.dtype) * C - full_counts)
+
+    # Each sorted item's offset within its policy's run decides whether it
+    # lands in a full chunk or the policy's partial chunk.
+    offsets = jnp.arange(N, dtype=counts.dtype) - starts[sorted_assign]
+    in_full = offsets < full_counts[sorted_assign]
+    dest = jnp.where(
+        in_full,
+        full_starts[sorted_assign] + offsets,
+        partial_starts[sorted_assign] + offsets,
+    ).astype(jnp.int32)
+
+    to_policy_idxs = (
+        jnp.full((B * C,), N, jnp.int32)
+        .at[dest]
+        .set(sort_idxs.astype(jnp.int32), unique_indices=True)
+        .reshape(B, C)
+    )
+    # Redirect padding slots to the chunk's first (valid) element.
+    to_policy_idxs = jnp.where(
+        to_policy_idxs != N, to_policy_idxs, to_policy_idxs[:, 0:1])
+
+    to_sim_idxs = (
+        jnp.empty((N,), jnp.int32)
+        .at[sort_idxs]
+        .set(dest, unique_indices=True)
+    )
+    return to_policy_idxs, to_sim_idxs
+
+
+class PolicyBatchReorderState(flax.struct.PyTreeNode):
+    """Bidirectional gather state between sim order and policy-chunk order.
+
+    When matchmaking is trivial (pure self-play with a block-constant
+    assignment), both index sets are ``None`` and the transforms are free
+    reshapes (reference: rollouts.py:143-168).
+    """
+
+    to_policy_idxs: Optional[jax.Array]
+    to_sim_idxs: Optional[jax.Array]
+    policy_dims: Tuple[int, ...] = flax.struct.field(pytree_node=False)
+    sim_dims: Tuple[int, ...] = flax.struct.field(pytree_node=False)
+
+    def to_policy(self, data):
+        def txfm(x):
+            if self.to_policy_idxs is None:
+                return x.reshape(*self.policy_dims, *x.shape[1:])
+            # Clip-mode gather resolves the OOB sentinel in empty chunks.
+            return x.at[self.to_policy_idxs].get(mode="clip")
+
+        return jax.tree.map(txfm, data)
+
+    def to_sim(self, data):
+        if self.to_policy_idxs is not None:
+            num_flat = self.to_policy_idxs.shape[0] * self.to_policy_idxs.shape[1]
+
+        def txfm(x):
+            if self.to_sim_idxs is None:
+                return x.reshape(*self.sim_dims, *x.shape[2:])
+            flat_chunks = x.reshape(num_flat, *x.shape[2:])
+            return flat_chunks.at[self.to_sim_idxs].get(unique_indices=True)
+
+        return jax.tree.map(txfm, data)
