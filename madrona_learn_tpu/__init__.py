@@ -32,6 +32,23 @@ from .models import (
     BackboneSeparate,
 )
 from .utils import profile, aot_compile, cfg_jax_mem
+from .observations import (
+    ObservationsPreprocess,
+    ObservationsEMANormalizer,
+    ObservationsCaster,
+    ObservationsPreprocessNoop,
+)
+from .policy import Policy
+from .ppo import PPOConfig
+from .train import (
+    init_training,
+    stop_training,
+    eval_elo,
+    update_population,
+    TrainingManager,
+    TrainHooks,
+)
+from .train_state import TrainStateManager
 
 __version__ = "0.1.0"
 
@@ -58,4 +75,17 @@ __all__ = [
     "profile",
     "aot_compile",
     "cfg_jax_mem",
+    "ObservationsPreprocess",
+    "ObservationsEMANormalizer",
+    "ObservationsCaster",
+    "ObservationsPreprocessNoop",
+    "Policy",
+    "PPOConfig",
+    "init_training",
+    "stop_training",
+    "eval_elo",
+    "update_population",
+    "TrainingManager",
+    "TrainHooks",
+    "TrainStateManager",
 ]

@@ -1,3 +1,11 @@
-from .sim_interface import SimInterface
-from .fake_sim import make_fake_sim, FakeSimConfig
-from .toy_env import make_toy_env, ToyEnvConfig
+from .sim_interface import SimInterface, as_sim_fns
+from .fake_sim import (
+    FakeSimConfig,
+    make_fake_sim,
+    FakeNet,
+    FakeRNN,
+    FakeActor,
+    FakeCritic,
+    FakeActionDist,
+)
+from .toy_env import ToyEnvConfig, make_toy_env, make_duel_env

@@ -3,6 +3,7 @@ from .lstm import LSTM
 from .attention import SelfAttention, EntitySelfAttentionNet
 from .critics import (
     DenseLayerDiscreteActor,
+    DictActor,
     DenseLayerCritic,
     DreamerV3Critic,
     HLGaussCritic,

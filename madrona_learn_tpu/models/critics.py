@@ -8,15 +8,17 @@ Bin tables are built host-side in numpy (static) and baked into the modules.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from flax.core import FrozenDict
 
 from ..config import DiscreteActionsConfig
 from ..ops.dists import (
+    DictActionDistributions,
     DiscreteActionDistributions,
     HLGaussDist,
     HLGaussTwoPartDist,
@@ -43,6 +45,25 @@ class DenseLayerDiscreteActor(nn.Module):
         logits = self.impl(features)
         return DiscreteActionDistributions(
             self.cfg.actions_num_buckets, logits)
+
+
+class DictActor(nn.Module):
+    """Actor composing named heads into a ``DictActionDistributions``.
+
+    Use one entry per ``TrainConfig.actions`` key; the sampled actions come
+    back as a matching ``{name: array}`` pytree, which is the layout the sim
+    step contract consumes.
+    """
+
+    heads: Dict[str, nn.Module]
+
+    @nn.compact
+    def __call__(self, features, train=False):
+        return DictActionDistributions(
+            dists=FrozenDict({
+                name: head(features, train=train)
+                for name, head in self.heads.items()
+            }))
 
 
 class DenseLayerCritic(nn.Module):

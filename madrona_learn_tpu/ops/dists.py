@@ -25,6 +25,7 @@ from typing import List
 import flax
 import jax
 import jax.numpy as jnp
+from flax.core import FrozenDict
 from jax import lax, random
 
 from ..config import ContinuousActionsConfig
@@ -127,6 +128,36 @@ class ContinuousActionDistributions(flax.struct.PyTreeNode):
             entropies.append(0.5 * jnp.log(2 * jnp.pi * jnp.square(std)) + 0.5)
         return (jnp.concatenate(log_probs, axis=-2),
                 jnp.concatenate(entropies, axis=-2))
+
+
+class DictActionDistributions(flax.struct.PyTreeNode):
+    """Dict of named action distributions — the canonical actor output.
+
+    The sim contract carries actions as ``{name: array}`` pytrees keyed like
+    ``TrainConfig.actions``; this wrapper samples/scores every named
+    distribution and returns matching dict pytrees, so PPO's per-key
+    surrogate/entropy tree.maps and per-key entropy weights apply naturally.
+    """
+
+    dists: FrozenDict
+
+    def sample(self, prng_key):
+        names = sorted(self.dists.keys())
+        keys = random.split(prng_key, len(names))
+        actions, log_probs = {}, {}
+        for key, name in zip(keys, names):
+            actions[name], log_probs[name] = self.dists[name].sample(key)
+        return FrozenDict(actions), FrozenDict(log_probs)
+
+    def best(self):
+        return FrozenDict({k: d.best() for k, d in self.dists.items()})
+
+    def action_stats(self, all_actions):
+        log_probs, entropies = {}, {}
+        for name, dist in self.dists.items():
+            log_probs[name], entropies[name] = dist.action_stats(
+                all_actions[name])
+        return FrozenDict(log_probs), FrozenDict(entropies)
 
 
 def _symmetric_weighted_sum(probs, bins):

