@@ -165,8 +165,8 @@ class FakeActor(nn.Module):
 
 
 class FakeCritic(nn.Module):
-    """Value = rnn hidden state (exactly predictable)."""
+    """Value = rnn hidden state (int32, exactly predictable)."""
 
     @nn.compact
     def __call__(self, features, train=False):
-        return features[..., 3:4].astype(jnp.float32)
+        return features[..., 3:4]

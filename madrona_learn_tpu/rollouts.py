@@ -418,7 +418,14 @@ def rollout_loop(
             rewards = step_output["rewards"].astype(cfg.reward_dtype)
             sim_obs = step_output["obs"]
 
-            env_returns = rewards + cfg.reward_gamma * rollout_state.env_returns
+            if cfg.reward_gamma == 1.0:
+                # Avoid float promotion so integer reward dtypes (fake-sim
+                # exact tests) stay exact.
+                env_returns = rewards + rollout_state.env_returns
+            else:
+                env_returns = (
+                    rewards + cfg.reward_gamma * rollout_state.env_returns
+                ).astype(cfg.reward_dtype)
 
             rnn_states = rnn_reset_fn(rnn_states, dones)
 
