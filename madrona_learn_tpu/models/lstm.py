@@ -5,11 +5,12 @@ stacked ``OptimizedLSTMCell`` layers whose per-layer outputs are concatenated,
 zero-init recurrent state, done-masked state clearing, and a time-axis
 ``sequence`` scan used by the PPO update pass.
 
-TPU notes: recurrent state is kept as stacked ``[num_layers, N, H]`` arrays
-(rather than Python lists of [N, H]) so the whole state is two contiguous,
-lane-aligned buffers that gather/scatter cheaply during sim<->policy
-reordering. The sequence scan runs under ``nn.scan`` with params broadcast, so
-XLA keeps weights resident in VMEM across timesteps.
+TPU notes: recurrent state is kept as stacked *batch-leading* ``[N,
+num_layers, H]`` arrays (rather than Python lists of [N, H]) so the whole
+state is two contiguous buffers whose leading axis is the agent batch — the
+axis every sim<->policy gather/scatter and mesh sharding acts on. The
+sequence scan runs under ``nn.scan`` with params broadcast, so XLA keeps
+weights resident in VMEM across timesteps.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ class MultiLayerLSTMCell(nn.Module):
 
     @nn.compact
     def __call__(self, carry: Tuple[jax.Array, jax.Array], inputs: jax.Array):
-        in_c, in_h = carry  # each [num_layers, N, H]
+        in_c, in_h = carry  # each [N, num_layers, H]
 
         x = inputs
         new_c, new_h, outs = [], [], []
@@ -41,13 +42,16 @@ class MultiLayerLSTMCell(nn.Module):
                 recurrent_kernel_init=jax.nn.initializers.orthogonal(),
                 bias_init=jax.nn.initializers.constant(0),
                 dtype=self.dtype,
-            )((in_c[i], in_h[i]), x)
+            )((in_c[:, i], in_h[:, i]), x)
             x = h_i
             new_c.append(c_i)
             new_h.append(h_i)
             outs.append(out)
 
-        return (jnp.stack(new_c), jnp.stack(new_h)), jnp.concatenate(outs, -1)
+        return (
+            (jnp.stack(new_c, axis=1), jnp.stack(new_h, axis=1)),
+            jnp.concatenate(outs, -1),
+        )
 
 
 class LSTM(nn.Module):
@@ -58,14 +62,14 @@ class LSTM(nn.Module):
     @nn.nowrap
     def init_recurrent_state(self, N):
         zeros = jnp.zeros(
-            (self.num_layers, N, self.num_hidden_channels), self.dtype)
+            (N, self.num_layers, self.num_hidden_channels), self.dtype)
         return (zeros, zeros)
 
     @nn.nowrap
     def clear_recurrent_state(self, rnn_states, should_clear):
         # should_clear: [N, 1] broadcast over layers and hidden channels.
         c, h = rnn_states
-        mask = should_clear[None, ...]
+        mask = should_clear[..., None]
         zero = jnp.zeros((), c.dtype)
         return (jnp.where(mask, zero, c), jnp.where(mask, zero, h))
 

@@ -14,21 +14,38 @@ from madrona_learn_tpu.models import (
     ActorCritic,
     BackboneEncoder,
     BackboneShared,
+    BackboneSeparate,
     DenseLayerCritic,
     DenseLayerDiscreteActor,
     DictActor,
     DreamerV3Critic,
+    LSTM,
     MLP,
+    RecurrentBackboneEncoder,
 )
 
 
-def make_policy(actions_cfg, dtype=jnp.float32, dreamer_critic=False):
-    backbone = BackboneShared(
-        prefix=lambda obs, train: jnp.concatenate(
-            [obs["delta"], obs["time"]], axis=-1),
-        encoder=BackboneEncoder(
-            net=MLP(num_channels=64, num_layers=2, dtype=dtype)),
-    )
+def make_policy(actions_cfg, dtype=jnp.float32, dreamer_critic=False,
+                recurrent=False, separate=False):
+    prefix = lambda obs, train: jnp.concatenate(
+        [obs["delta"], obs["time"]], axis=-1)
+
+    def make_encoder():
+        net = MLP(num_channels=64, num_layers=2, dtype=dtype)
+        if recurrent:
+            return RecurrentBackboneEncoder(
+                net=net,
+                rnn=LSTM(num_hidden_channels=32, num_layers=1, dtype=dtype))
+        return BackboneEncoder(net=net)
+
+    if separate:
+        backbone = BackboneSeparate(
+            prefix=prefix,
+            actor_encoder=make_encoder(),
+            critic_encoder=make_encoder(),
+        )
+    else:
+        backbone = BackboneShared(prefix=prefix, encoder=make_encoder())
     critic = (DreamerV3Critic(dtype=dtype) if dreamer_critic
               else DenseLayerCritic(dtype=dtype))
     actor_critic = ActorCritic(
@@ -47,7 +64,7 @@ def make_policy(actions_cfg, dtype=jnp.float32, dreamer_critic=False):
 
 
 def run_training(num_updates=20, dreamer_critic=False, normalize_values=False,
-                 num_worlds=64, seed=5):
+                 num_worlds=64, seed=5, recurrent=False, separate=False):
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
     env_cfg = ToyEnvConfig(num_worlds=num_worlds, episode_len=20, grid_size=5,
                            seed=seed)
@@ -80,7 +97,8 @@ def run_training(num_updates=20, dreamer_critic=False, normalize_values=False,
         normalize_advantages=True,
     )
 
-    policy = make_policy(actions, dreamer_critic=dreamer_critic)
+    policy = make_policy(actions, dreamer_critic=dreamer_critic,
+                         recurrent=recurrent, separate=separate)
     mgr = mlt.init_training(
         None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32))
 
@@ -115,6 +133,24 @@ def test_dreamer_critic_path_runs():
 def test_value_normalized_path_runs():
     mgr, mean_rewards = run_training(
         num_updates=3, dreamer_critic=False, normalize_values=True)
+    assert np.isfinite(mean_rewards).all()
+
+
+@pytest.mark.slow
+def test_lstm_ppo_runs_and_learns():
+    """Recurrent actor-critic PPO (BASELINE.json config #2 shape)."""
+    mgr, mean_rewards = run_training(
+        num_updates=20, recurrent=True, num_worlds=32)
+    assert np.isfinite(mean_rewards).all()
+    early = np.mean(mean_rewards[:3])
+    late = np.mean(mean_rewards[-3:])
+    assert late > early, f"no improvement: early={early}, late={late}"
+
+
+@pytest.mark.slow
+def test_separate_backbone_lstm_runs():
+    mgr, mean_rewards = run_training(
+        num_updates=2, recurrent=True, separate=True, num_worlds=16)
     assert np.isfinite(mean_rewards).all()
 
 
