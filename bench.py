@@ -1,0 +1,131 @@
+"""Benchmark harness: aggregate PPO throughput (env-steps/s) on one chip.
+
+Methodology mirrors the reference's ac_test (reference: tests/ac_test.py:
+355-369): AOT-compile the full resident update step (rollout collection +
+GAE + minibatched PPO), run warmup, then time N updates and report
+env-steps/s. The env is the pure-JAX toy gridworld so the number measures the
+framework (inference + trajectory machinery + learner), not an external
+simulator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the per-chip share of the driver's 1M
+env-steps/s @ v5e-16 target (62_500 env-steps/s per chip).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+NUM_WORLDS = 8192
+STEPS_PER_UPDATE = 32
+NUM_BPTT_CHUNKS = 2
+CHANNELS = 256
+TIMED_UPDATES = 10
+PER_CHIP_TARGET = 1_000_000 / 16  # BASELINE.json: 1M env-steps/s on v5e-16
+
+
+def build_manager(dtype):
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic,
+        BackboneShared,
+        DenseLayerCritic,
+        DenseLayerDiscreteActor,
+        DictActor,
+        LSTM,
+        MLP,
+        RecurrentBackboneEncoder,
+    )
+
+    actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+    env_cfg = ToyEnvConfig(
+        num_worlds=NUM_WORLDS, episode_len=40, grid_size=8, seed=0,
+        reward_dtype=jnp.float32)
+    sim_fns = make_toy_env(env_cfg)
+
+    actor_critic = ActorCritic(
+        backbone=BackboneShared(
+            prefix=lambda obs, train: jnp.concatenate(
+                [obs["delta"], obs["time"]], axis=-1),
+            encoder=RecurrentBackboneEncoder(
+                net=MLP(num_channels=CHANNELS, num_layers=2, dtype=dtype),
+                rnn=LSTM(num_hidden_channels=CHANNELS, num_layers=1,
+                         dtype=dtype),
+            ),
+        ),
+        actor=DictActor(heads={
+            "move": DenseLayerDiscreteActor(cfg=actions["move"], dtype=dtype),
+        }),
+        critic=DenseLayerCritic(dtype=dtype),
+    )
+    policy = mlt.Policy(
+        actor_critic=actor_critic,
+        obs_preprocess=mlt.ObservationsEMANormalizer.create(
+            decay=0.99999, dtype=dtype),
+    )
+
+    cfg = mlt.TrainConfig(
+        num_worlds=NUM_WORLDS,
+        num_agents_per_world=1,
+        num_updates=TIMED_UPDATES,
+        actions=actions,
+        steps_per_update=STEPS_PER_UPDATE,
+        num_bptt_chunks=NUM_BPTT_CHUNKS,
+        lr=1e-3,
+        gamma=0.99,
+        gae_lambda=0.95,
+        seed=0,
+        metrics_buffer_size=1,
+        algo=mlt.PPOConfig(
+            num_epochs=1,
+            minibatch_size=(NUM_BPTT_CHUNKS * NUM_WORLDS) // 4,
+            clip_coef=0.2,
+            value_loss_coef=0.5,
+            entropy_coef=0.01,
+            max_grad_norm=0.5,
+        ),
+        dreamer_v3_critic=False,
+        normalize_values=False,
+        compute_advantages=True,
+        compute_dtype=dtype,
+    )
+
+    return mlt.init_training(
+        None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+
+def main():
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+
+    mgr = build_manager(dtype)
+
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+
+    # Warmup/compile.
+    mgr = update(mgr)
+    jax.block_until_ready(mgr.state.train_states.opt_state)
+
+    start = time.perf_counter()
+    for _ in range(TIMED_UPDATES):
+        mgr = update(mgr)
+    jax.block_until_ready(mgr.state.train_states.opt_state)
+    elapsed = time.perf_counter() - start
+
+    env_steps = NUM_WORLDS * STEPS_PER_UPDATE * TIMED_UPDATES
+    steps_per_s = env_steps / elapsed
+
+    print(json.dumps({
+        "metric": "ppo_env_steps_per_s_per_chip",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / PER_CHIP_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

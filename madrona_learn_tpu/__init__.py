@@ -49,6 +49,14 @@ from .train import (
     TrainHooks,
 )
 from .train_state import TrainStateManager
+from .eval import eval_load_ckpt, eval_policies
+from .utils.tensorboard import TensorboardWriter
+
+try:
+    from .utils.wandb import WandbWriter  # noqa: F401
+    _HAVE_WANDB = True
+except ImportError:
+    _HAVE_WANDB = False
 
 __version__ = "0.1.0"
 
@@ -88,4 +96,8 @@ __all__ = [
     "TrainingManager",
     "TrainHooks",
     "TrainStateManager",
+    "eval_load_ckpt",
+    "eval_policies",
+    "TensorboardWriter",
+    "WandbWriter",
 ]

@@ -1,0 +1,105 @@
+"""Device mesh + sharding rules for the resident train step.
+
+This is the TPU-native layer the single-device reference does not have
+(reference: train.py:144 pins one device; no pmap/pjit/psum exists anywhere
+in it — SURVEY.md section 2c). Design:
+
+- One ``jax.sharding.Mesh`` with axes ``("data", "policy")``.
+- The **sim batch** (env/agent instances — every rollout-state leaf whose
+  leading axis is ``sim_batch_size``) shards over ``data``. A pure-JAX env
+  therefore shards for free; per-step obs normalization statistics and metric
+  reductions become psums XLA inserts automatically.
+- The **population** (policy/train-state leaves whose leading axis is the
+  policy count) shards over ``policy``: per-policy PPO updates run as a
+  sharded vmap, so optimizer state and Adam moments are distributed; PBT
+  cull/past copies lower to cross-shard collective permutes.
+- Everything else (metrics ring buffer, PRNG keys, scalar counters)
+  replicates.
+
+``shard_training_manager`` device_puts a freshly initialized TrainingManager
+according to these rules; jit then propagates the shardings through the
+update step. On multi-host deployments call ``jax.distributed.initialize``
+first and pass the global device list to ``make_mesh``; shardings are
+expressed in global terms so the same code runs on a pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+DATA_AXIS = "data"
+POLICY_AXIS = "policy"
+
+
+def make_mesh(mesh_cfg: MeshConfig,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= mesh_cfg.num_devices, (
+        f"mesh {mesh_cfg} needs {mesh_cfg.num_devices} devices, "
+        f"have {len(devices)}")
+    grid = np.asarray(devices[:mesh_cfg.num_devices]).reshape(
+        mesh_cfg.data, mesh_cfg.policy)
+    return Mesh(grid, (DATA_AXIS, POLICY_AXIS))
+
+
+def _shard_by_leading_axis(tree, mesh: Mesh, axis_sizes, axis_name):
+    """NamedShardings sharding axis 0 over ``axis_name`` for leaves whose
+    leading dim is in ``axis_sizes`` and divisible by the mesh axis; replicate
+    the rest."""
+    n_shards = mesh.shape[axis_name]
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis_name))
+
+    def rule(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.shape[0] in axis_sizes
+            and leaf.shape[0] % n_shards == 0
+        ):
+            return sharded
+        return replicated
+
+    return jax.tree.map(rule, tree)
+
+
+def training_manager_shardings(training_mgr, mesh: Mesh):
+    """A TrainingManager-shaped pytree of NamedShardings."""
+    rollout = training_mgr.rollout
+    state = training_mgr.state
+
+    sim_batch = rollout.cfg.sim_batch_size
+    num_worlds = rollout.cfg.num_worlds
+    pbt = rollout.cfg.pbt
+    policy_counts = {pbt.total_num_policies, pbt.num_current_policies}
+
+    rollout_shardings = _shard_by_leading_axis(
+        rollout, mesh, {sim_batch, num_worlds}, DATA_AXIS)
+    state_shardings = _shard_by_leading_axis(
+        state, mesh, policy_counts, POLICY_AXIS)
+    metrics_shardings = jax.tree.map(
+        lambda _: NamedSharding(mesh, P()), training_mgr.metrics)
+
+    return training_mgr.replace(
+        rollout=rollout_shardings,
+        state=state_shardings,
+        metrics=metrics_shardings,
+        update_idx=NamedSharding(mesh, P()),
+    )
+
+
+def shard_training_manager(training_mgr, mesh: Mesh):
+    """Place a TrainingManager across the mesh per the sharding rules."""
+    shardings = training_manager_shardings(training_mgr, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s),
+        training_mgr, shardings,
+        is_leaf=lambda x: x is None,
+    )
