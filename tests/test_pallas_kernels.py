@@ -1,0 +1,108 @@
+"""Pallas TPU kernels vs their jnp reference twins (interpret mode on CPU).
+
+Mirrors the reference's kernel test strategy (reference: pallas/test.py:
+1476-1788): forward/backward comparisons against plain-jnp references with
+tolerance asserts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_learn_tpu.ops.gae import compute_advantages
+from madrona_learn_tpu.ops.pallas.attention import mha, mha_reference
+from madrona_learn_tpu.ops.pallas.gae import (
+    compute_advantages_pallas,
+    gae_pallas,
+    gae_reference,
+)
+from madrona_learn_tpu.ops.pallas.layer_norm import (
+    layer_norm,
+    layer_norm_reference,
+)
+
+
+def test_gae_kernel_matches_reference():
+    rng = np.random.default_rng(0)
+    T, N = 32, 700  # deliberately not a BLOCK_N multiple
+    rewards = jnp.asarray(rng.normal(size=(T, N)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(T, N)), jnp.float32)
+    dones = jnp.asarray(rng.random((T, N)) < 0.1)
+    bootstrap = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+
+    got = gae_pallas(0.99, 0.95, rewards, values, dones, bootstrap,
+                     interpret=True)
+    want = gae_reference(0.99, 0.95, rewards, values, dones, bootstrap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gae_kernel_matches_trainer_scan():
+    rng = np.random.default_rng(3)
+    C, TC, P, B = 2, 8, 2, 96
+    shape = (C, TC, P, B, 1)
+    rewards = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    values = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    dones = jnp.asarray(rng.random(shape) < 0.15)
+    bootstrap = jnp.asarray(rng.normal(size=(P, B, 1)), jnp.float32)
+
+    got = compute_advantages_pallas(
+        0.99, 0.9, rewards, values, dones, bootstrap, interpret=True)
+    want = compute_advantages(0.99, 0.9, rewards, values, dones, bootstrap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_layer_norm_forward(dtype):
+    rng = np.random.default_rng(1)
+    N, D = 300, 128
+    x = jnp.asarray(rng.normal(size=(N, D)), dtype)
+    w = jnp.asarray(rng.normal(size=(D,)), jnp.float32) + 1.0
+    b = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    got = layer_norm(x, w, b, 1e-6, True)
+    want = layer_norm_reference(x, w, b)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=tol, atol=tol)
+
+
+def test_layer_norm_backward():
+    rng = np.random.default_rng(2)
+    N, D = 200, 64
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D,)), jnp.float32) + 1.0
+    b = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    def loss_kernel(x, w, b):
+        return jnp.sum(jnp.sin(layer_norm(x, w, b, 1e-6, True)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jnp.sin(layer_norm_reference(x, w, b)))
+
+    gx, gw, gb = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, w, b)
+    rx, rw, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(4, 8, 2, 32), (3, 17, 4, 64)])
+def test_mha_matches_reference(shape):
+    rng = np.random.default_rng(4)
+    B, S, H, D = shape
+    q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    got = mha(q, k, v, True)
+    want = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
