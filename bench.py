@@ -94,8 +94,10 @@ def build_manager(dtype):
         compute_dtype=dtype,
     )
 
+    # One-time init runs on host CPU; only the update step compiles on TPU.
     return mlt.init_training(
-        None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+        None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32),
+        init_on_cpu=(jax.default_backend() != "cpu"))
 
 
 def main():

@@ -120,9 +120,30 @@ def init_training(
     user_hooks: TrainHooks = TrainHooks(),
     restore_ckpt: Optional[str] = None,
     profile_port: Optional[int] = None,
+    init_on_cpu: bool = False,
 ) -> TrainingManager:
+    """Build the TrainingManager.
+
+    ``init_on_cpu=True`` runs every one-time initialization program (sim
+    init, population init, metric buffers) on the host CPU backend and
+    transfers the resulting state pytree to ``dev`` afterwards. On TPU
+    deployments where device compilation is expensive this cuts startup to a
+    single compile (the update step itself); results are identical since init
+    is pure array construction.
+    """
     print(cfg)
     print()
+
+    if init_on_cpu:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            mgr = _init_training(cfg, sim_fns, policy,
+                                 jax.device_put(init_sim_ctrl, cpu),
+                                 user_hooks, restore_ckpt, profile_port)
+        target = dev if dev is not None else jax.devices()[0]
+        arrays, treedef = jax.tree.flatten(mgr)
+        arrays = jax.device_put(arrays, target)
+        return jax.tree.unflatten(treedef, arrays)
 
     if dev is not None:
         with jax.default_device(dev):
