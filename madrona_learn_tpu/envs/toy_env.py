@@ -121,7 +121,24 @@ def make_toy_env(cfg: ToyEnvConfig):
             "pbt": {"episode_results": episode_results},
         }
 
-    return {"init": init_fn, "step": step_fn}
+    # Sim-state snapshot support (contract: rollouts get_ckpts/load_ckpts;
+    # reference: rollouts.py:300-309). Functional-sim variant: state flows
+    # through the call. Checkpoints are flat int32 rows [pos, target, t].
+    def get_ckpts_fn(sim_state):
+        return jnp.concatenate(
+            [sim_state["pos"], sim_state["target"], sim_state["t"]],
+            axis=-1).astype(jnp.int32)
+
+    def load_ckpts_fn(trigger, ckpts):
+        pos = ckpts[:, 0:2]
+        target = ckpts[:, 2:4]
+        t = ckpts[:, 4:5]
+        state = {"pos": pos, "target": target, "t": t,
+                 "key": random.PRNGKey(cfg.seed + 1)}
+        return {"state": state, "obs": _obs(pos, target, t)}
+
+    return {"init": init_fn, "step": step_fn,
+            "get_ckpts": get_ckpts_fn, "load_ckpts": load_ckpts_fn}
 
 
 def make_duel_env(cfg: ToyEnvConfig):

@@ -190,15 +190,23 @@ class TrainingMetrics(flax.struct.PyTreeNode):
     # -- host-side reporting -------------------------------------------------
 
     def pretty_print(self, tab=2):
+        """Print the most recently recorded buffer slot per metric."""
         tab = " " * tab
+        buf_size = int(np.asarray(self.update_buffer_size).reshape(-1)[0])
+        last = (int(np.asarray(self.cur_buffer_offset).reshape(-1)[0])
+                - 1) % buf_size
+
         lines = [tab + "TrainingMetrics"]
         for k, name in self.print_names.items():
             m = self.metrics[k]
 
-            def fmt(x):
+            def slot(x):
                 x = np.asarray(x)
-                if not m.per_policy:
-                    return f"{float(x): .3e}"
+                # [buffer] or [policies, buffer] -> latest slot value(s).
+                return x[..., last]
+
+            def fmt(x):
+                x = np.atleast_1d(slot(x))
                 return ", ".join(f"{float(v): .3e}" for v in x)
 
             with np.errstate(invalid="ignore", divide="ignore"):

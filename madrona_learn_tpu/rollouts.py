@@ -268,14 +268,24 @@ class RolloutState(flax.struct.PyTreeNode):
         )
 
     # Simulator-state snapshot passthrough (reference: rollouts.py:300-309).
+    # Stateful engines (Madrona-style custom calls) take no argument and
+    # return only obs; functional sims take the state and return a
+    # {'state', 'obs'} dict.
     def get_current_checkpoints(self):
-        return self.get_ckpts_fn()
+        try:
+            return self.get_ckpts_fn(self.sim_state)
+        except TypeError:
+            return self.get_ckpts_fn()
 
     def load_checkpoints_into_sim(self, ckpts):
         assert ckpts.ndim == 2
         trigger = jnp.ones((ckpts.shape[0], 1), jnp.int32)
-        new_obs = frozen_dict.freeze(self.load_ckpts_fn(trigger, ckpts))
-        return self.update(cur_obs=new_obs)
+        out = self.load_ckpts_fn(trigger, ckpts)
+        if isinstance(out, dict) and "state" in out:
+            return self.update(
+                sim_state=out["state"],
+                cur_obs=frozen_dict.freeze(out["obs"]))
+        return self.update(cur_obs=frozen_dict.freeze(out))
 
 
 # ---------------------------------------------------------------------------
