@@ -1,0 +1,136 @@
+"""Rollout-pass vs update-pass forward consistency.
+
+PPO's importance ratio must start at exactly 1: the log-probs the update
+pass (sequence scan over stored obs/actions) computes with unchanged weights
+must match the log-probs recorded during rollouts, and the LSTM sequence
+scan must reproduce the step-by-step recurrent states including done-masked
+clears. These invariants gate the whole BPTT data layout
+([C,T/C,P,B] -> [P,C*B,T/C] and its time-major minibatch transpose).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import random
+
+from madrona_learn_tpu.models import LSTM
+
+
+def test_lstm_sequence_matches_stepwise():
+    dtype = jnp.float32
+    N, T, H, F = 6, 12, 16, 8
+    lstm = LSTM(num_hidden_channels=H, num_layers=2, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.2)
+
+    init_state = lstm.init_recurrent_state(N)
+    params = lstm.init(random.PRNGKey(0), init_state, xs[0], False)
+
+    # Step-by-step: apply cell, then clear on done (same order as the
+    # rollout engine: step, then reset when the sim reports done).
+    state = init_state
+    outs = []
+    for t in range(T):
+        out, state = lstm.apply(params, state, xs[t], False)
+        state = lstm.clear_recurrent_state(state, dones[t])
+        outs.append(out)
+    stepwise = jnp.stack(outs)
+
+    seq_out = lstm.apply(
+        params, init_state, dones, xs, False, method="sequence")
+
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(seq_out), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_update_log_probs_match_rollout():
+    """Collected log-probs == update-pass log-probs at unchanged weights."""
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from test_train_e2e import make_policy
+
+    num_worlds = 16
+    actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+    sim_fns = make_toy_env(ToyEnvConfig(
+        num_worlds=num_worlds, episode_len=10, grid_size=5, seed=8))
+
+    cfg = mlt.TrainConfig(
+        num_worlds=num_worlds,
+        num_agents_per_world=1,
+        num_updates=1,
+        actions=actions,
+        steps_per_update=8,
+        num_bptt_chunks=2,
+        lr=1e-3,
+        gamma=0.95,
+        gae_lambda=0.95,
+        seed=8,
+        metrics_buffer_size=1,
+        algo=mlt.PPOConfig(
+            num_epochs=1,
+            minibatch_size=2 * num_worlds,
+            clip_coef=0.2,
+            value_loss_coef=0.5,
+            entropy_coef=0.01,
+            max_grad_norm=0.5,
+        ),
+        dreamer_v3_critic=False,
+        compute_advantages=True,
+    )
+
+    policy = make_policy(actions, recurrent=True)
+    mgr = mlt.init_training(
+        None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    # Collect one batch of rollouts without optimizing.
+    from madrona_learn_tpu.rollouts import RolloutManager
+    from madrona_learn_tpu.train import TrainHooks
+
+    hooks = TrainHooks()
+    rollout_mgr = RolloutManager(
+        train_cfg=cfg,
+        init_rollout_state=mgr.rollout,
+        example_policy_states=mgr.state.policy_states,
+    )
+
+    @jax.jit
+    def collect(state_mgr, rollout_state, metrics):
+        return rollout_mgr.collect(
+            state_mgr, rollout_state, metrics,
+            hooks.start_rollouts, hooks.finish_rollouts,
+            hooks.rollout_metrics)
+
+    (state_mgr, rollout_state, rollout_data, obs_stats, metrics) = collect(
+        mgr.state, mgr.rollout, mgr.metrics)
+
+    # Re-run the update-pass forward per policy at the same weights.
+    @jax.jit
+    @jax.vmap
+    def update_fwd(policy_state, data):
+        # data leaves: [num_seqs, T/C, ...]; time-major like minibatch(),
+        # except rnn_start_states (no time axis).
+        data, rnn_start = data.pop("rnn_start_states")
+        mb = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), data)
+        return policy_state.apply_fn(
+            {"params": policy_state.params,
+             "batch_stats": policy_state.batch_stats},
+            rnn_start,
+            mb["dones"],
+            mb["actions"],
+            mb["obs"],
+            train=False,
+            method="update",
+        )
+
+    data = rollout_data.all()
+    fwd = update_fwd(state_mgr.policy_states, data)
+
+    recorded = data["log_probs"]["move"]  # [P, num_seqs, T/C, 1]
+    recomputed = jnp.swapaxes(fwd["log_probs"]["move"], 1, 2)
+
+    np.testing.assert_allclose(
+        np.asarray(recomputed), np.asarray(recorded), rtol=1e-4, atol=1e-5)
