@@ -396,18 +396,18 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
         for other in custom_policy_ids:
             pairs.extend([custom_id, other])
 
-    num_dups = (sim_batch_size // team_size) // len(pairs)
-
-    assignments = jnp.asarray(pairs, jnp.int32).reshape(-1, num_teams)
-    assignments = jnp.repeat(assignments, num_dups, axis=0)
-    assignments = jnp.repeat(assignments.reshape(-1), team_size)
-    if assignments.shape[0] < sim_batch_size:
-        assignments = jnp.pad(
-            assignments, [(0, sim_batch_size - assignments.shape[0])],
-            constant_values=0)
-    else:
-        assert assignments.shape[0] == sim_batch_size
-    return assignments
+    # Cycle the pair list to fill every match slot. (The reference instead
+    # zero-pads when the batch is smaller than the pair list —
+    # train.py:937-956 — which silently turns all matches into
+    # policy-0-vs-policy-0; cycling covers a maximal prefix of distinct
+    # pairs in that regime and all pairs, repeated, otherwise.)
+    num_match_slots = sim_batch_size // (team_size * num_teams)
+    pairs_arr = np.asarray(pairs, np.int32).reshape(-1, num_teams)
+    slot_idx = np.arange(num_match_slots) % pairs_arr.shape[0]
+    assignments = pairs_arr[slot_idx]  # [num_match_slots, num_teams]
+    assignments = np.repeat(assignments.reshape(-1), team_size)
+    assert assignments.shape[0] == sim_batch_size
+    return jnp.asarray(assignments)
 
 
 def eval_elo(
