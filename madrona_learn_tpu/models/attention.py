@@ -51,7 +51,7 @@ class SelfAttention(nn.Module):
             x_p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)])
             mask = jnp.ones((padded_len,), jnp.bool_).at[seq_len:].set(False)
             attn_mask = mask[None, None, :] & mask[None, :, None]
-            out = nn.SelfAttention(
+            out = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
                 qkv_features=self.qkv_features,
                 out_features=self.out_features,
@@ -60,7 +60,7 @@ class SelfAttention(nn.Module):
             )(x_p, mask=attn_mask)
             return out[..., :seq_len, :]
 
-        return nn.SelfAttention(
+        return nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.qkv_features,
             out_features=self.out_features,
