@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-NUM_WORLDS = 8192
+NUM_WORLDS = 32768  # throughput sweet spot from the v5e batch-size sweep
 STEPS_PER_UPDATE = 32
 NUM_BPTT_CHUNKS = 2
 CHANNELS = 256

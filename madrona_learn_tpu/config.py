@@ -151,6 +151,9 @@ class TrainConfig:
     value_normalizer_decay: float = 0.99999
     max_advantage_est_decay: float = 0.99999
     compute_dtype: jnp.dtype = jnp.float32
+    # Route GAE through the fused Pallas-TPU kernel (ops/pallas/gae.py);
+    # requires a TPU backend. The jnp scan path is the default/fallback.
+    use_pallas_gae: bool = False
 
     @property
     def sim_batch_size(self) -> int:

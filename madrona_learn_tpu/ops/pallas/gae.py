@@ -42,8 +42,8 @@ def _gae_kernel(gamma, lam, rewards_ref, values_ref, notdones_ref,
         out_ref[t, :] = adv
         return adv, v
 
-    zeros = jnp.zeros_like(bootstrap_ref[:])
-    lax.fori_loop(0, T, body, (zeros, bootstrap_ref[:]))
+    bootstrap = bootstrap_ref[0, :]
+    lax.fori_loop(0, T, body, (jnp.zeros_like(bootstrap), bootstrap))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
@@ -61,6 +61,8 @@ def gae_pallas(gamma, lam, rewards, values, dones, bootstrap,
         notdones = jnp.pad(notdones, pad2)
         bootstrap = jnp.pad(bootstrap, [(0, pad)])
     n_padded = N + pad
+    # 2-D bootstrap keeps the Mosaic operand layout lane-tiled like the rest.
+    bootstrap2d = bootstrap.reshape(1, n_padded)
 
     grid = (n_padded // BLOCK_N,)
     out = pl.pallas_call(
@@ -70,13 +72,13 @@ def gae_pallas(gamma, lam, rewards, values, dones, bootstrap,
             pl.BlockSpec((T, BLOCK_N), lambda i: (0, i)),
             pl.BlockSpec((T, BLOCK_N), lambda i: (0, i)),
             pl.BlockSpec((T, BLOCK_N), lambda i: (0, i)),
-            pl.BlockSpec((BLOCK_N,), lambda i: (i,)),
+            pl.BlockSpec((1, BLOCK_N), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((T, BLOCK_N), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((T, n_padded), jnp.float32),
         interpret=interpret,
     )(rewards.astype(jnp.float32), values.astype(jnp.float32), notdones,
-      bootstrap.astype(jnp.float32))
+      bootstrap2d.astype(jnp.float32))
 
     return out[:, :N]
 

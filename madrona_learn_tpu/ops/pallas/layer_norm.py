@@ -30,8 +30,8 @@ def _fwd_kernel(eps, x_ref, w_ref, b_ref, y_ref, mu_ref, rsigma_ref):
         b_ref[...].astype(jnp.float32)
 
     y_ref[...] = y.astype(y_ref.dtype)
-    mu_ref[...] = mu[:, 0]
-    rsigma_ref[...] = rsigma[:, 0]
+    mu_ref[...] = mu
+    rsigma_ref[...] = rsigma
 
 
 def _bwd_kernel(x_ref, w_ref, mu_ref, rsigma_ref, dy_ref,
@@ -39,8 +39,8 @@ def _bwd_kernel(x_ref, w_ref, mu_ref, rsigma_ref, dy_ref,
     x = x_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
     w = w_ref[...].astype(jnp.float32)
-    mu = mu_ref[...][:, None]
-    rsigma = rsigma_ref[...][:, None]
+    mu = mu_ref[...]
+    rsigma = rsigma_ref[...]
 
     xhat = (x - mu) * rsigma
     wdy = w * dy
@@ -52,9 +52,16 @@ def _bwd_kernel(x_ref, w_ref, mu_ref, rsigma_ref, dy_ref,
     dx = (wdy - c2 - xhat * c1) * rsigma
 
     dx_ref[...] = dx.astype(dx_ref.dtype)
-    # Per-block partial reductions over rows; final sum happens outside.
-    dw_ref[...] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+
+    # The TPU grid runs sequentially, so all programs accumulate dw/db into
+    # one shared output block (initialized by the first program).
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dw_ref[0:1, :] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[0:1, :] += jnp.sum(dy, axis=0, keepdims=True)
 
 
 def _pad_rows(x, block):
@@ -87,13 +94,13 @@ def _layer_norm_fwd_impl(x, weight, bias, eps, interpret):
         ],
         out_specs=[
             pl.BlockSpec((BLOCK_ROWS, D), lambda i: (i, 0)),
-            pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,)),
-            pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,)),
+            pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0)),
+            pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_padded, D), x.dtype),
-            jax.ShapeDtypeStruct((n_padded,), jnp.float32),
-            jax.ShapeDtypeStruct((n_padded,), jnp.float32),
+            jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
         ],
         interpret=interpret,
     )(x_p, weight, bias)
@@ -119,25 +126,25 @@ def _layer_norm_bwd(eps, interpret, residuals, dy):
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS, D), lambda i: (i, 0)),
             pl.BlockSpec((D,), lambda i: (0,)),
-            pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,)),
-            pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,)),
+            pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0)),
+            pl.BlockSpec((BLOCK_ROWS, 1), lambda i: (i, 0)),
             pl.BlockSpec((BLOCK_ROWS, D), lambda i: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((BLOCK_ROWS, D), lambda i: (i, 0)),
-            pl.BlockSpec((1, D), lambda i: (i, 0)),
-            pl.BlockSpec((1, D), lambda i: (i, 0)),
+            pl.BlockSpec((8, D), lambda i: (0, 0)),
+            pl.BlockSpec((8, D), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_padded, D), x.dtype),
-            jax.ShapeDtypeStruct((grid[0], D), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], D), jnp.float32),
+            jax.ShapeDtypeStruct((8, D), jnp.float32),
+            jax.ShapeDtypeStruct((8, D), jnp.float32),
         ],
         interpret=interpret,
     )(x_p, weight, mu, rsigma, dy_p)
 
-    dw = jnp.sum(dw_partial, axis=0).astype(weight.dtype)
-    db = jnp.sum(db_partial, axis=0).astype(weight.dtype)
+    dw = dw_partial[0].astype(weight.dtype)
+    db = db_partial[0].astype(weight.dtype)
     return dx[:n], dw, db
 
 

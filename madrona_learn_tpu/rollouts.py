@@ -551,6 +551,7 @@ class RolloutManager:
         self._use_advantages = train_cfg.compute_advantages
         self._gamma = train_cfg.gamma
         self._gae_lambda = train_cfg.gae_lambda
+        self._use_pallas_gae = train_cfg.use_pallas_gae
 
     def add_metrics(self, train_cfg: TrainConfig, metrics: FrozenDict):
         new_metrics = {
@@ -762,10 +763,18 @@ class RolloutManager:
             unnormalized_bootstrap, user_state)
 
         if self._use_advantages:
-            advantages = compute_advantages(
-                self._gamma, self._gae_lambda,
-                rollouts["rewards"], unnormalized_values,
-                rollouts["dones"], unnormalized_bootstrap)
+            if self._use_pallas_gae:
+                from .ops.pallas.gae import compute_advantages_pallas
+
+                advantages = compute_advantages_pallas(
+                    self._gamma, self._gae_lambda,
+                    rollouts["rewards"], unnormalized_values,
+                    rollouts["dones"], unnormalized_bootstrap)
+            else:
+                advantages = compute_advantages(
+                    self._gamma, self._gae_lambda,
+                    rollouts["rewards"], unnormalized_values,
+                    rollouts["dones"], unnormalized_bootstrap)
             returns = advantages + unnormalized_values
             rollouts = rollouts.copy({
                 "advantages": advantages.astype(self._cfg.prob_dtype),
