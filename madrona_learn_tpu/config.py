@@ -106,17 +106,21 @@ class MeshConfig:
     """Logical device mesh for the whole resident train step (TPU-native addition).
 
     ``data`` shards the sim batch (env/agent instances); ``policy`` shards the
-    PBT population (and its optimizer state).  ``data * policy`` must equal the
-    number of participating devices.  The degenerate (1, 1) mesh reproduces the
-    reference's single-device behavior.
+    PBT population (and its optimizer state); ``model`` optionally tensor-
+    shards wide Dense kernels (hidden dim) for large policies — RL policy
+    nets are usually small enough to replicate, so it defaults to 1.
+    ``data * policy * model`` must equal the number of participating devices.
+    The degenerate (1, 1, 1) mesh reproduces the reference's single-device
+    behavior.
     """
 
     data: int = 1
     policy: int = 1
+    model: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.policy
+        return self.data * self.policy * self.model
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,7 @@ from ..config import MeshConfig
 
 DATA_AXIS = "data"
 POLICY_AXIS = "policy"
+MODEL_AXIS = "model"
 
 
 def make_mesh(mesh_cfg: MeshConfig,
@@ -45,8 +46,54 @@ def make_mesh(mesh_cfg: MeshConfig,
         f"mesh {mesh_cfg} needs {mesh_cfg.num_devices} devices, "
         f"have {len(devices)}")
     grid = np.asarray(devices[:mesh_cfg.num_devices]).reshape(
-        mesh_cfg.data, mesh_cfg.policy)
-    return Mesh(grid, (DATA_AXIS, POLICY_AXIS))
+        mesh_cfg.data, mesh_cfg.policy, mesh_cfg.model)
+    return Mesh(grid, (DATA_AXIS, POLICY_AXIS, MODEL_AXIS))
+
+
+def shard_params_for_tp(params, mesh: Mesh, min_dim: int = 256,
+                        stacked_policy_axis: bool = True):
+    """Tensor-parallel sharding rules for Dense kernels (GSPMD style).
+
+    Kernels whose output feature dim is >= ``min_dim`` and divisible by the
+    ``model`` axis size are sharded along that dim; XLA then partitions the
+    matmuls and inserts the reduce-scatters/all-gathers. Everything else
+    replicates over ``model``. With ``stacked_policy_axis`` the leading
+    population axis additionally shards over ``policy``.
+
+    RL policies are typically small (TP is a documented non-goal of the
+    reference — SURVEY.md section 2c); this exists so wide policies scale
+    without code changes: ``params = device_put(params,
+    shard_params_for_tp(params, mesh))``.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    n_policy = mesh.shape[POLICY_AXIS]
+
+    def rule(path, leaf):
+        if not hasattr(leaf, "ndim"):
+            return NamedSharding(mesh, P())
+        lead = (POLICY_AXIS,) if (
+            stacked_policy_axis
+            and leaf.ndim >= 1
+            and leaf.shape[0] % max(n_policy, 1) == 0
+            and n_policy > 1
+        ) else (None,)
+
+        is_kernel = path[-1].key == "kernel" and leaf.ndim >= 2
+        if (
+            is_kernel
+            and leaf.shape[-1] >= min_dim
+            and leaf.shape[-1] % n_model == 0
+            and n_model > 1
+        ):
+            spec = lead + (None,) * (leaf.ndim - len(lead) - 1) + (MODEL_AXIS,)
+            return NamedSharding(mesh, P(*spec))
+
+        if lead != (None,):
+            spec = lead + (None,) * (leaf.ndim - 1)
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def _shard_by_leading_axis(tree, mesh: Mesh, axis_sizes, axis_name):
