@@ -108,14 +108,20 @@ def main():
 
     update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
 
+    def force_sync(mgr):
+        # Pull values computed at the end of the whole update chain to the
+        # host; an actual transfer is the only sync some remote backends
+        # honor (block_until_ready can return early over RPC tunnels).
+        return jax.device_get(mgr.metrics.metrics["Loss"].mean)
+
     # Warmup/compile.
     mgr = update(mgr)
-    jax.block_until_ready(mgr.state.train_states.opt_state)
+    force_sync(mgr)
 
     start = time.perf_counter()
     for _ in range(TIMED_UPDATES):
         mgr = update(mgr)
-    jax.block_until_ready(mgr.state.train_states.opt_state)
+    force_sync(mgr)
     elapsed = time.perf_counter() - start
 
     env_steps = NUM_WORLDS * STEPS_PER_UPDATE * TIMED_UPDATES

@@ -121,15 +121,20 @@ def main():
             step, (rnn_states, key), None, length=args.steps)
         return rnn_states
 
-    compiled = jax.jit(run).lower(
+    def run_reduced(params, obs, rnn_states, key):
+        out = run(params, obs, rnn_states, key)
+        # Reduce to scalars: fetching them is the only sync some remote
+        # backends honor (block_until_ready can return early over RPC).
+        return jax.tree.map(
+            lambda x: jnp.sum(x.astype(jnp.float32)), out)
+
+    compiled = jax.jit(run_reduced).lower(
         params, obs, rnn_states, random.key(1)).compile()
 
-    out = compiled(params, obs, rnn_states, random.key(1))
-    jax.block_until_ready(out)
+    jax.device_get(compiled(params, obs, rnn_states, random.key(1)))
 
     start = time.perf_counter()
-    out = compiled(params, obs, rnn_states, random.key(2))
-    jax.block_until_ready(out)
+    jax.device_get(compiled(params, obs, rnn_states, random.key(2)))
     elapsed = time.perf_counter() - start
 
     rate = N * args.steps / elapsed
