@@ -106,3 +106,22 @@ def test_mha_matches_reference(shape):
     want = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(8, 64, 32, 4, 128), (5, 128, 64, 3, 96)])
+def test_grouped_matmul_matches_reference(shape):
+    from madrona_learn_tpu.ops.pallas.grouped_matmul import (
+        grouped_matmul,
+        grouped_matmul_reference,
+    )
+
+    B, C, IN, P, OUT = shape
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(B, C, IN)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(P, IN, OUT)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, P, size=(B,)), jnp.int32)
+
+    got = grouped_matmul(x, w, idx, True)
+    want = grouped_matmul_reference(x, w, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
