@@ -37,18 +37,30 @@ def grouped_matmul(x, weights, chunk_policy, interpret=False):
     """x: [B, C, IN]; weights: [P, IN, OUT]; chunk_policy: [B] int32.
 
     Returns [B, C, OUT] with ``out[i] = x[i] @ weights[chunk_policy[i]]``.
+    The OUT dim is tiled so (x, w, out) blocks fit VMEM with double
+    buffering at any width.
     """
     B, C, IN = x.shape
     P, _, OUT = weights.shape
 
+    tile_out = OUT
+    while (C * IN + IN * tile_out + C * tile_out) * 4 * 2 > 12 * 2**20:
+        assert tile_out % 2 == 0
+        tile_out //= 2
+    tile_out = max(tile_out, min(OUT, 128))
+    num_out_tiles = -(OUT // -tile_out)
+    assert OUT % tile_out == 0, (OUT, tile_out)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B, num_out_tiles),
         in_specs=[
-            pl.BlockSpec((1, C, IN), lambda i, idx_ref: (i, 0, 0)),
-            pl.BlockSpec((1, IN, OUT), lambda i, idx_ref: (idx_ref[i], 0, 0)),
+            pl.BlockSpec((1, C, IN), lambda i, j, idx_ref: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, IN, tile_out), lambda i, j, idx_ref: (idx_ref[i], 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, C, OUT), lambda i, idx_ref: (i, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, C, tile_out), lambda i, j, idx_ref: (i, 0, j)),
     )
 
     return pl.pallas_call(
