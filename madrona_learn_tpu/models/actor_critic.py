@@ -3,16 +3,17 @@
 Capability parity with the reference actor-critic layer (reference:
 actor_critic.py:13-303): an ``ActorCritic`` flax module exposing four apply
 methods — ``rollout`` (sample/argmax actions + value), ``update`` (sequence
-forward for stored actions returning log-probs/entropies/critic),
-``actor_only`` and ``critic_only`` — over pluggable backbones:
+forward scoring stored actions), ``actor_only`` and ``critic_only`` — over
+pluggable backbones.
 
-- ``BackboneEncoder``: feed-forward (empty recurrent state).
-- ``RecurrentBackboneEncoder``: net -> rnn, with a time-axis ``sequence`` path.
-- ``BackboneShared`` / ``BackboneSeparate``: one or two encoder towers feeding
-  the actor and critic heads.
-
-Recurrent-state init/clear are ``nn.nowrap`` helpers so the rollout engine can
-manage state outside module application.
+Backbones are organized as *towers*: a shared obs prefix feeds one
+(``BackboneShared``) or two (``BackboneSeparate``) encoder towers whose
+outputs drive the actor and critic heads. Encoders are either feed-forward
+(``BackboneEncoder``, empty recurrent state) or recurrent
+(``RecurrentBackboneEncoder``: net -> rnn, with a time-axis ``sequence``
+path for BPTT). Recurrent-state init/clear are ``nn.nowrap`` helpers so the
+rollout engine owns state placement (sim-order, batch-leading — see
+models/lstm.py).
 """
 
 from __future__ import annotations
@@ -27,9 +28,23 @@ from flax.core import FrozenDict, frozen_dict
 from ..utils.profile import profile
 
 
+def _merge_time(tree, T, N):
+    """[T*N, ...] -> [T, N, ...] on every leaf."""
+    return jax.tree.map(lambda x: x.reshape(T, N, *x.shape[1:]), tree)
+
+
+def _drop_time(tree):
+    """[T, N, ...] -> [T*N, ...] on every leaf."""
+    return jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), tree)
+
+
 class Backbone(nn.Module):
+    """Interface: __call__ -> (actor_feats, critic_feats, rnn_out);
+    actor_only / critic_only -> (feats, rnn_out); sequence -> per-timestep
+    (actor_feats, critic_feats) for stored [T, N] batches."""
+
     def _flatten_obs_sequence(self, obs):
-        return jax.tree.map(lambda o: o.reshape(-1, *o.shape[2:]), obs)
+        return _drop_time(obs)
 
     @nn.nowrap
     def init_recurrent_state(self, N):
@@ -57,62 +72,67 @@ class ActorCritic(nn.Module):
     def setup(self):
         pass
 
-    def actor_only(self, rnn_states_in, obs_in, train=False):
-        features, rnn_states_out = self.backbone.actor_only(
-            rnn_states_in, obs_in, train=train)
-        dists = self.actor(features, train=train)
-        return FrozenDict({"actions": dists.best()}), rnn_states_out
-
-    def critic_only(self, rnn_states_in, obs_in, train=False):
-        features, rnn_states_out = self.backbone.critic_only(
-            rnn_states_in, obs_in, train=train)
-        return (
-            FrozenDict({"critic": self.critic(features, train=train)}),
-            rnn_states_out,
-        )
+    # -- single-step paths (rollout-time) ------------------------------------
 
     def rollout(self, prng_key, rnn_states_in, obs_in, train=False,
                 sample_actions=True, return_debug=False):
-        actor_features, critic_features, rnn_states_out = self.backbone(
+        actor_feats, critic_feats, rnn_out = self.backbone(
             rnn_states_in, obs_in, train=train)
 
-        dists = self.actor(actor_features, train=train)
-
-        results = {}
+        dists = self.actor(actor_feats, train=train)
         if sample_actions:
             actions, log_probs = dists.sample(prng_key)
-            results["log_probs"] = log_probs
+            results = {"actions": actions, "log_probs": log_probs}
         else:
-            actions = dists.best()
-        results["actions"] = actions
-        results["critic"] = self.critic(critic_features, train=train)
+            results = {"actions": dists.best()}
+        results["critic"] = self.critic(critic_feats, train=train)
 
-        return frozen_dict.freeze(results), rnn_states_out
+        return frozen_dict.freeze(results), rnn_out
+
+    def actor_only(self, rnn_states_in, obs_in, train=False):
+        feats, rnn_out = self.backbone.actor_only(
+            rnn_states_in, obs_in, train=train)
+        dists = self.actor(feats, train=train)
+        return FrozenDict({"actions": dists.best()}), rnn_out
+
+    def critic_only(self, rnn_states_in, obs_in, train=False):
+        feats, rnn_out = self.backbone.critic_only(
+            rnn_states_in, obs_in, train=train)
+        return (
+            FrozenDict({"critic": self.critic(feats, train=train)}),
+            rnn_out,
+        )
+
+    # -- sequence path (update-time) -----------------------------------------
 
     def update(self, rnn_states, sequence_breaks, rollout_actions, obs,
                train=True):
-        """Forward stored [T, N, ...] sequences for the PPO update pass."""
-        actor_features, critic_features = self.backbone.sequence(
+        """Score stored [T, N] sequences: log-probs + entropies of the taken
+        actions and fresh critic outputs, all time-major."""
+        T, N = sequence_breaks.shape[0:2]
+
+        actor_feats, critic_feats = self.backbone.sequence(
             rnn_states, sequence_breaks, obs, train=train)
 
-        dists = self.actor(actor_features, train=train)
-        critic_out = self.critic(critic_features, train=train)
+        dists = self.actor(actor_feats, train=train)
+        log_probs, entropies = dists.action_stats(
+            _drop_time(rollout_actions))
+        critic_out = self.critic(critic_feats, train=train)
 
-        T, N = sequence_breaks.shape[0:2]
-        flat_actions = jax.tree.map(
-            lambda a: a.reshape(T * N, *a.shape[2:]), rollout_actions)
-
-        log_probs, entropies = dists.action_stats(flat_actions)
-
-        unflatten = lambda x: x.reshape(T, N, *x.shape[1:])
         return FrozenDict({
-            "log_probs": jax.tree.map(unflatten, log_probs),
-            "entropies": jax.tree.map(unflatten, entropies),
-            "critic": jax.tree.map(unflatten, critic_out),
+            "log_probs": _merge_time(log_probs, T, N),
+            "entropies": _merge_time(entropies, T, N),
+            "critic": _merge_time(critic_out, T, N),
         })
 
 
+# ---------------------------------------------------------------------------
+# Encoder towers
+# ---------------------------------------------------------------------------
+
 class BackboneEncoder(nn.Module):
+    """Feed-forward tower; recurrent state is the empty tuple."""
+
     net: nn.Module
 
     @nn.nowrap
@@ -132,6 +152,8 @@ class BackboneEncoder(nn.Module):
 
 
 class RecurrentBackboneEncoder(nn.Module):
+    """net -> rnn tower with a scan-based sequence path for BPTT."""
+
     net: nn.Module
     rnn: nn.Module
 
@@ -148,27 +170,30 @@ class RecurrentBackboneEncoder(nn.Module):
 
     def __call__(self, rnn_states_in, *inputs, train):
         features = self.net(*inputs, train=train)
-        rnn_out, new_rnn_states = self.rnn(rnn_states_in, features, train)
-        return rnn_out, new_rnn_states
+        return self.rnn(rnn_states_in, features, train)
 
     def sequence(self, rnn_start_states, sequence_ends, flattened_inputs,
                  train):
-        # inputs arrive pre-flattened [T*N, ...]; reshape to [T, N, ...] for
-        # the rnn scan, then flatten back for the heads.
-        features = self.net(flattened_inputs, train=train)
-        features_seq = jax.tree.map(
-            lambda x: x.reshape(*sequence_ends.shape[0:2], *x.shape[1:]),
-            features)
+        # Features are computed over the flat [T*N] batch (one big matmul),
+        # then reshaped to [T, N] for the recurrent scan.
+        T, N = sequence_ends.shape[0:2]
+        features_seq = _merge_time(
+            self.net(flattened_inputs, train=train), T, N)
 
         with profile("rnn.fwd_sequence"):
-            rnn_out_seq = self.rnn.sequence(
+            rnn_out = self.rnn.sequence(
                 rnn_start_states, sequence_ends, features_seq, train=train)
 
-        return jax.tree.map(
-            lambda x: x.reshape(-1, *x.shape[2:]), rnn_out_seq)
+        return _drop_time(rnn_out)
 
+
+# ---------------------------------------------------------------------------
+# Backbones: prefix + 1 or 2 towers
+# ---------------------------------------------------------------------------
 
 class BackboneShared(Backbone):
+    """One tower feeds both heads."""
+
     prefix: Union[nn.Module, Callable]
     encoder: nn.Module
 
@@ -184,75 +209,80 @@ class BackboneShared(Backbone):
     def setup(self):
         pass
 
-    def _encode(self, rnn_states_in, obs_in, train):
-        processed = self.prefix(obs_in, train=train)
-        return self.encoder(rnn_states_in, processed, train=train)
-
     def __call__(self, rnn_states_in, obs_in, train):
-        features, rnn_states_out = self._encode(rnn_states_in, obs_in, train)
-        return features, features, rnn_states_out
+        feats, rnn_out = self.encoder(
+            rnn_states_in, self.prefix(obs_in, train=train), train=train)
+        return feats, feats, rnn_out
 
     def actor_only(self, rnn_states_in, obs_in, train):
-        return self._encode(rnn_states_in, obs_in, train)
+        return self.encoder(
+            rnn_states_in, self.prefix(obs_in, train=train), train=train)
 
-    def critic_only(self, rnn_states_in, obs_in, train):
-        return self._encode(rnn_states_in, obs_in, train)
+    critic_only = actor_only
 
     def sequence(self, rnn_start_states, sequence_ends, obs_in, train):
-        flattened_obs = self._flatten_obs_sequence(obs_in)
-        processed = self.prefix(flattened_obs, train=train)
-        features = self.encoder.sequence(
+        processed = self.prefix(
+            self._flatten_obs_sequence(obs_in), train=train)
+        feats = self.encoder.sequence(
             rnn_start_states, sequence_ends, processed, train=train)
-        return features, features
+        return feats, feats
 
 
 class BackboneSeparate(Backbone):
+    """Independent actor and critic towers over a shared prefix.
+
+    Recurrent state is the tuple (actor_tower_state, critic_tower_state);
+    the *_only paths advance just their tower's slot.
+    """
+
     prefix: Union[nn.Module, Callable]
     actor_encoder: nn.Module
     critic_encoder: nn.Module
 
     @nn.nowrap
+    def _towers(self):
+        return (self.actor_encoder, self.critic_encoder)
+
+    @nn.nowrap
     def init_recurrent_state(self, N):
-        return (self.actor_encoder.init_recurrent_state(N),
-                self.critic_encoder.init_recurrent_state(N))
+        return tuple(t.init_recurrent_state(N) for t in self._towers())
 
     @nn.nowrap
     def clear_recurrent_state(self, recurrent_states, should_clear):
-        return (
-            self.actor_encoder.clear_recurrent_state(
-                recurrent_states[0], should_clear),
-            self.critic_encoder.clear_recurrent_state(
-                recurrent_states[1], should_clear),
-        )
+        return tuple(
+            t.clear_recurrent_state(s, should_clear)
+            for t, s in zip(self._towers(), recurrent_states))
 
     def setup(self):
         pass
 
     def __call__(self, rnn_states_in, obs_in, train):
         processed = self.prefix(obs_in, train=train)
-        actor_features, actor_rnn = self.actor_encoder(
+        actor_feats, actor_rnn = self.actor_encoder(
             rnn_states_in[0], processed, train=train)
-        critic_features, critic_rnn = self.critic_encoder(
+        critic_feats, critic_rnn = self.critic_encoder(
             rnn_states_in[1], processed, train=train)
-        return actor_features, critic_features, (actor_rnn, critic_rnn)
+        return actor_feats, critic_feats, (actor_rnn, critic_rnn)
+
+    def _one_tower(self, slot, rnn_states_in, obs_in, train):
+        processed = self.prefix(obs_in, train=train)
+        tower = (self.actor_encoder, self.critic_encoder)[slot]
+        feats, rnn_out = tower(rnn_states_in[slot], processed, train=train)
+        new_states = list(rnn_states_in)
+        new_states[slot] = rnn_out
+        return feats, tuple(new_states)
 
     def actor_only(self, rnn_states_in, obs_in, train):
-        processed = self.prefix(obs_in, train=train)
-        features, rnn_out = self.actor_encoder(
-            rnn_states_in[0], processed, train=train)
-        return features, (rnn_out, rnn_states_in[1])
+        return self._one_tower(0, rnn_states_in, obs_in, train)
 
     def critic_only(self, rnn_states_in, obs_in, train):
-        processed = self.prefix(obs_in, train=train)
-        features, rnn_out = self.critic_encoder(
-            rnn_states_in[1], processed, train=train)
-        return features, (rnn_states_in[0], rnn_out)
+        return self._one_tower(1, rnn_states_in, obs_in, train)
 
     def sequence(self, rnn_start_states, sequence_ends, obs_in, train):
-        flattened_obs = self._flatten_obs_sequence(obs_in)
-        processed = self.prefix(flattened_obs, train=train)
-        actor_features = self.actor_encoder.sequence(
+        processed = self.prefix(
+            self._flatten_obs_sequence(obs_in), train=train)
+        actor_feats = self.actor_encoder.sequence(
             rnn_start_states[0], sequence_ends, processed, train=train)
-        critic_features = self.critic_encoder.sequence(
+        critic_feats = self.critic_encoder.sequence(
             rnn_start_states[1], sequence_ends, processed, train=train)
-        return actor_features, critic_features
+        return actor_feats, critic_feats

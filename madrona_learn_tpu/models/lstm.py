@@ -1,21 +1,20 @@
-"""Stacked LSTM with explicit recurrent-state management.
+"""Stacked LSTM with explicit, batch-leading recurrent state.
 
 Capability parity with the reference RNN layer (reference: rnn.py:10-111):
-stacked ``OptimizedLSTMCell`` layers whose per-layer outputs are concatenated,
-zero-init recurrent state, done-masked state clearing, and a time-axis
-``sequence`` scan used by the PPO update pass.
+stacked LSTM layers whose per-layer outputs concatenate into the feature
+vector, zero-init state, done-masked clearing, and a time-axis scan for the
+BPTT update pass.
 
-TPU notes: recurrent state is kept as stacked *batch-leading* ``[N,
-num_layers, H]`` arrays (rather than Python lists of [N, H]) so the whole
-state is two contiguous buffers whose leading axis is the agent batch — the
-axis every sim<->policy gather/scatter and mesh sharding acts on. The
-sequence scan runs under ``nn.scan`` with params broadcast, so XLA keeps
-weights resident in VMEM across timesteps.
+TPU-first state layout: the (c, h) state is a pair of ``[N, num_layers, H]``
+arrays — the agent batch leads, so the sim<->policy reorder gathers and the
+``data``-axis mesh sharding act on axis 0 of exactly two contiguous buffers.
+The sequence scan broadcasts params (weights stay VMEM-resident across
+timesteps) and applies the done-mask *after* each step, matching the rollout
+engine's step-then-reset ordering so rollout and update passes see identical
+state trajectories.
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,34 +23,36 @@ from flax import linen as nn
 __all__ = ["LSTM"]
 
 
-class MultiLayerLSTMCell(nn.Module):
-    num_hidden_channels: int
-    num_layers: int
+class _StackedCell(nn.Module):
+    """One step through all layers; carry is ([N,L,H] c, [N,L,H] h)."""
+
+    hidden: int
+    layers: int
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, carry: Tuple[jax.Array, jax.Array], inputs: jax.Array):
-        in_c, in_h = carry  # each [N, num_layers, H]
+    def __call__(self, carry, x):
+        c_in, h_in = carry
 
-        x = inputs
-        new_c, new_h, outs = [], [], []
-        for i in range(self.num_layers):
-            (c_i, h_i), out = nn.OptimizedLSTMCell(
-                features=self.num_hidden_channels,
+        cs, hs, outs = [], [], []
+        layer_in = x
+        for layer in range(self.layers):
+            cell = nn.OptimizedLSTMCell(
+                features=self.hidden,
                 kernel_init=jax.nn.initializers.orthogonal(),
                 recurrent_kernel_init=jax.nn.initializers.orthogonal(),
                 bias_init=jax.nn.initializers.constant(0),
                 dtype=self.dtype,
-            )((in_c[:, i], in_h[:, i]), x)
-            x = h_i
-            new_c.append(c_i)
-            new_h.append(h_i)
+                name=f"layer_{layer}",
+            )
+            (c, h), out = cell((c_in[:, layer], h_in[:, layer]), layer_in)
+            layer_in = h
+            cs.append(c)
+            hs.append(h)
             outs.append(out)
 
-        return (
-            (jnp.stack(new_c, axis=1), jnp.stack(new_h, axis=1)),
-            jnp.concatenate(outs, -1),
-        )
+        carry = (jnp.stack(cs, axis=1), jnp.stack(hs, axis=1))
+        return carry, jnp.concatenate(outs, axis=-1)
 
 
 class LSTM(nn.Module):
@@ -61,44 +62,42 @@ class LSTM(nn.Module):
 
     @nn.nowrap
     def init_recurrent_state(self, N):
-        zeros = jnp.zeros(
-            (N, self.num_layers, self.num_hidden_channels), self.dtype)
-        return (zeros, zeros)
+        shape = (N, self.num_layers, self.num_hidden_channels)
+        return (jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
 
     @nn.nowrap
     def clear_recurrent_state(self, rnn_states, should_clear):
-        # should_clear: [N, 1] broadcast over layers and hidden channels.
-        c, h = rnn_states
+        # should_clear: [N, 1]; broadcasts over (layer, hidden).
         mask = should_clear[..., None]
-        zero = jnp.zeros((), c.dtype)
-        return (jnp.where(mask, zero, c), jnp.where(mask, zero, h))
+        return tuple(
+            jnp.where(mask, jnp.zeros((), s.dtype), s) for s in rnn_states)
 
     def setup(self):
-        self.cell = MultiLayerLSTMCell(
-            self.num_hidden_channels, self.num_layers, self.dtype)
+        self.cell = _StackedCell(
+            hidden=self.num_hidden_channels,
+            layers=self.num_layers,
+            dtype=self.dtype,
+        )
 
     def __call__(self, cur_hiddens, in_features, train):
         new_hiddens, out = self.cell(cur_hiddens, in_features)
         return out, new_hiddens
 
     def sequence(self, start_hiddens, seq_ends, seq_x, train):
-        """Run the cell over a [T, N, ...] sequence, clearing state at episode
-        boundaries (``seq_ends`` true at step t clears state entering t+1)."""
+        """[T, N, F] features -> [T, N, L*H] outputs, clearing state after
+        any step whose ``seq_ends`` flag is set (episode boundary)."""
 
         def step(cell, carry, x, end):
             carry, y = cell(carry, x)
-            carry = self.clear_recurrent_state(carry, end)
-            return carry, y
+            return self.clear_recurrent_state(carry, end), y
 
-        scan = nn.scan(
+        scanned = nn.scan(
             step,
             in_axes=0,
             out_axes=0,
-            unroll=1,
-            variable_axes={},
             variable_broadcast="params",
             variable_carry=False,
             split_rngs={"params": False},
         )
-        _, outputs = scan(self.cell, start_hiddens, seq_x, seq_ends)
+        _, outputs = scanned(self.cell, start_hiddens, seq_x, seq_ends)
         return outputs

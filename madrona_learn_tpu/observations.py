@@ -1,20 +1,29 @@
 """Observation preprocessing pipelines keyed on obs-dict entries.
 
 Capability parity with the reference observation system (reference:
-observations.py:13-160): a 5-operation protocol (preprocess / init_state /
-update_state / init_obs_stats / update_obs_stats) mapped over the obs dict,
-with optional per-policy vmap, plus three implementations: EMA normalizer
-(with per-key prep functions and a skip set), dtype caster, and no-op.
+observations.py:13-160), redesigned around per-key *handlers* instead of an
+inheritance protocol: a preprocessor is a bundle of five per-key operations
 
-The stats split matters for the resident train step: ``update_obs_stats``
-accumulates streaming batch stats *during* rollouts (cheap, per step) while
-``update_state`` folds them into the EMA estimates once per update, so the
-normalizer state used for inference stays frozen within a rollout phase.
+    preprocess(state, ob)            -> network-ready ob
+    init_state(ob)                   -> persistent normalizer state
+    update_state(state, stats)       -> fold streamed stats into the state
+    init_obs_stats(state)            -> fresh streaming-stats accumulator
+    update_obs_stats(state, stats, n, ob) -> accumulate one batch
+
+mapped over the obs dict, with optional vmap over a leading policy axis.
+The stats split keeps the rollout loop cheap: per-step calls only
+accumulate batch stats; the EMA fold (``update_state``) runs once per
+update, so inference normalization stays frozen within a rollout phase.
+
+Sharding note: every operation is elementwise over the (possibly
+data-sharded) batch except the stats reductions, which XLA turns into psums
+across shards — exactness is guaranteed by the Chan-style merge in
+ops/ema.py.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Dict, Set
 
 import jax
@@ -23,65 +32,97 @@ from flax.core import FrozenDict
 
 from .ops.ema import EMANormalizer
 
+# A handler op takes (state_or_none, *per_key_args) for one obs key.
+_NOOP = lambda *args: None
+
 
 @dataclass(frozen=True)
+class KeyOps:
+    """The five per-key operations. Defaults are stateless no-ops."""
+
+    preprocess: Callable = lambda state, ob: ob
+    init_state: Callable = lambda ob: None
+    update_state: Callable = _NOOP
+    init_obs_stats: Callable = _NOOP
+    update_obs_stats: Callable = lambda state, stats, n, ob: None
+
+
 class ObservationsPreprocess:
+    """Maps per-key ops over obs dicts, vmapping over stacked policies.
+
+    Subclasses implement ``_ops(key) -> KeyOps``; results are cached per key.
+    """
+
+    def _ops(self, ob_name: str) -> KeyOps:
+        return KeyOps()
+
+    def _get_ops(self, ob_name):
+        cache = getattr(self, "_ops_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_ops_cache", cache)
+        if ob_name not in cache:
+            cache[ob_name] = self._ops(ob_name)
+        return cache[ob_name]
+
+    def _apply(self, op_name, vmap, *tree_args):
+        keys = tree_args[0].keys()
+        out = {}
+        for ob_name in keys:
+            op = getattr(self._get_ops(ob_name), op_name)
+            args = tuple(t[ob_name] for t in tree_args)
+            if vmap:
+                axes = tuple(0 if a is not None else None for a in args)
+                fn = jax.vmap(op, in_axes=axes) if any(
+                    ax == 0 for ax in axes) else op
+            else:
+                fn = op
+            out[ob_name] = fn(*args)
+        return FrozenDict(out)
+
+    # -- public surface (consumed by rollouts/train) -------------------------
+
     def preprocess(self, states, obs, vmap):
-        return self._map_obs(self._preprocess, vmap, states, obs)
+        return self._apply("preprocess", vmap, states, obs)
 
     def init_state(self, obs, vmap):
-        return self._map_obs(self._init_state, vmap, obs)
+        return self._apply("init_state", vmap, obs)
 
     def update_state(self, states, o_stats, vmap):
-        return self._map_obs(self._update_state, vmap, states, o_stats)
+        return self._apply("update_state", vmap, states, o_stats)
 
     def init_obs_stats(self, states, vmap):
-        return self._map_obs(self._init_obs_stats, vmap, states)
+        return self._apply("init_obs_stats", vmap, states)
 
     def update_obs_stats(self, states, cur_obs_stats, num_prev_updates, obs,
                          vmap):
-        def update_stats(ob_name, state, stats, ob):
-            return self._update_obs_stats(
-                ob_name, state, stats, num_prev_updates, ob)
-
-        return self._map_obs(update_stats, vmap, states, cur_obs_stats, obs)
-
-    def _map_obs(self, cb, vmap, *args):
-        keys = args[0].keys()
+        keys = states.keys()
         out = {}
         for ob_name in keys:
-            ob_args = [a[ob_name] for a in args]
+            op = self._get_ops(ob_name).update_obs_stats
+            args = (states[ob_name], cur_obs_stats[ob_name], obs[ob_name])
             if vmap:
-                vmap_axes = [None] + [
-                    0 if a is not None else None for a in ob_args]
-                if all(ax is None for ax in vmap_axes):
-                    f = cb
+                axes = tuple(0 if a is not None else None for a in args)
+                if any(ax == 0 for ax in axes):
+                    fn = jax.vmap(
+                        lambda s, c, o: op(s, c, num_prev_updates, o),
+                        in_axes=axes)
                 else:
-                    f = jax.vmap(cb, in_axes=vmap_axes)
+                    fn = lambda s, c, o: op(s, c, num_prev_updates, o)
             else:
-                f = cb
-            out[ob_name] = f(ob_name, *ob_args)
+                fn = lambda s, c, o: op(s, c, num_prev_updates, o)
+            out[ob_name] = fn(*args)
         return FrozenDict(out)
-
-    # Per-key operations; default to stateless no-ops.
-    def _init_state(self, ob_name, ob):
-        return None
-
-    def _update_state(self, ob_name, est, ob_stats):
-        return None
-
-    def _init_obs_stats(self, ob_name, est):
-        return None
-
-    def _update_obs_stats(self, ob_name, est, ob_stats, num_prev_updates, ob):
-        return None
 
 
 @dataclass(frozen=True)
 class ObservationsEMANormalizer(ObservationsPreprocess):
+    """Per-key EMA mean/sigma normalization with optional prep functions and
+    a skip set for keys that should pass through raw."""
+
     normalizer: EMANormalizer
-    prep_fns: Dict[str, Callable]
-    skip_normalization: Set[str]
+    prep_fns: Dict[str, Callable] = field(default_factory=dict)
+    skip_normalization: Set[str] = field(default_factory=frozenset)
 
     @staticmethod
     def create(
@@ -94,52 +135,39 @@ class ObservationsEMANormalizer(ObservationsPreprocess):
         return ObservationsEMANormalizer(
             normalizer=EMANormalizer(
                 decay=decay, norm_dtype=dtype, inv_dtype=dtype, eps=eps),
-            prep_fns=prep_fns,
-            skip_normalization=skip_normalization,
+            prep_fns=dict(prep_fns),
+            skip_normalization=frozenset(skip_normalization),
         )
 
-    def _prep_ob(self, ob_name, ob):
-        return self.prep_fns.get(ob_name, lambda x: x)(ob)
+    def _ops(self, ob_name):
+        prep = self.prep_fns.get(ob_name, lambda x: x)
 
-    def _preprocess(self, ob_name, est, ob):
-        ob = self._prep_ob(ob_name, ob)
         if ob_name in self.skip_normalization:
-            return ob
-        return self.normalizer.normalize(est, ob)
+            return KeyOps(preprocess=lambda state, ob: prep(ob))
 
-    def _init_state(self, ob_name, ob):
-        if ob_name in self.skip_normalization:
-            return None
-        return self.normalizer.init_estimates(self._prep_ob(ob_name, ob))
-
-    def _update_state(self, ob_name, est, ob_stats):
-        if ob_name in self.skip_normalization:
-            return None
-        return self.normalizer.update_estimates(est, ob_stats)
-
-    def _init_obs_stats(self, ob_name, est):
-        if ob_name in self.skip_normalization:
-            return None
-        return self.normalizer.init_input_stats(est)
-
-    def _update_obs_stats(self, ob_name, est, ob_stats, num_prev_updates, ob):
-        if ob_name in self.skip_normalization:
-            return None
-        ob = self._prep_ob(ob_name, ob)
-        return self.normalizer.update_input_stats(
-            ob_stats, num_prev_updates, ob)
+        norm = self.normalizer
+        return KeyOps(
+            preprocess=lambda est, ob: norm.normalize(est, prep(ob)),
+            init_state=lambda ob: norm.init_estimates(prep(ob)),
+            update_state=norm.update_estimates,
+            init_obs_stats=norm.init_input_stats,
+            update_obs_stats=lambda est, stats, n, ob: (
+                norm.update_input_stats(stats, n, prep(ob))),
+        )
 
 
 @dataclass(frozen=True)
 class ObservationsCaster(ObservationsPreprocess):
+    """Cast every obs entry to one dtype (e.g. raw int obs -> bf16)."""
+
     dtype: jnp.dtype
 
     @staticmethod
     def create(dtype: jnp.dtype):
         return ObservationsCaster(dtype=dtype)
 
-    def _preprocess(self, ob_name, _, ob):
-        return ob.astype(self.dtype)
+    def _ops(self, ob_name):
+        return KeyOps(preprocess=lambda state, ob: ob.astype(self.dtype))
 
 
 @dataclass(frozen=True)
@@ -147,6 +175,3 @@ class ObservationsPreprocessNoop(ObservationsPreprocess):
     @staticmethod
     def create():
         return ObservationsPreprocessNoop()
-
-    def _preprocess(self, ob_name, _, ob):
-        return ob
