@@ -50,6 +50,25 @@ from .train import (
 )
 from .train_state import TrainStateManager
 from .eval import eval_load_ckpt, eval_policies
+from .rollouts import (
+    RolloutConfig,
+    RolloutState,
+    RolloutManager,
+    RolloutData,
+    rollout_loop,
+    rollouts_reset,
+)
+from .pbt import (
+    PBTMatchmakeConfig,
+    pbt_init_matchmaking,
+    pbt_update_matchmaking,
+    pbt_update_elo,
+    pbt_update_fitness,
+    pbt_explore_hyperparams,
+    pbt_cull_update,
+    pbt_past_update,
+)
+from . import models, ops, envs, parallel
 from .utils.tensorboard import TensorboardWriter
 
 try:
