@@ -98,3 +98,39 @@ def test_train_on_native_sim():
 
     assert np.isfinite(rewards).all()
     assert np.mean(rewards[-3:]) > np.mean(rewards[:2])
+
+
+def test_ffi_custom_call_matches_callback_path():
+    """The XLA-FFI custom-call step must agree exactly with the ctypes
+    host-callback step (same C++ core)."""
+    from madrona_learn_tpu.envs.native_sim_ffi import make_native_sim_ffi
+
+    cfg = NativeSimConfig(num_worlds=64, episode_len=6, grid_size=5, seed=9)
+    cb = make_native_sim(cfg)
+    ffi = make_native_sim_ffi(cfg)
+
+    out_cb, out_ffi = cb["init"](), ffi["init"]()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), out_cb, out_ffi)
+
+    state_cb, state_ffi = out_cb["state"], out_ffi["state"]
+    key = jax.random.PRNGKey(0)
+    step_ffi = jax.jit(ffi["step"])
+    for i in range(10):
+        key, k = jax.random.split(key)
+        actions = {"move": jax.random.randint(k, (64, 1), 0, 5)}
+        inp = {
+            "resets": jnp.zeros((64, 1), jnp.int32),
+            "sim_ctrl": jnp.zeros((1,), jnp.int32),
+            "actions": actions,
+            "pbt": {},
+        }
+        o_cb = cb["step"]({**inp, "state": state_cb})
+        o_ffi = step_ffi({**inp, "state": state_ffi})
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            {k: v for k, v in o_cb.items() if k != "state"},
+            {k: v for k, v in o_ffi.items() if k != "state"})
+        state_cb, state_ffi = o_cb["state"], o_ffi["state"]
