@@ -122,3 +122,25 @@ def test_simple_path_reshapes():
     assert chunked.shape == (P, C, 1)
     recon = state.to_sim(chunked)
     np.testing.assert_array_equal(np.asarray(recon), np.asarray(x))
+
+
+# -- property-based fuzzing -------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    P=st.integers(min_value=1, max_value=12),
+    C=st.sampled_from([2, 4, 8, 16]),
+)
+def test_reorder_roundtrip_fuzz(data, P, C):
+    N = data.draw(st.integers(min_value=1, max_value=96))
+    assignments = np.asarray(
+        data.draw(st.lists(
+            st.integers(min_value=0, max_value=P - 1),
+            min_size=N, max_size=N)))
+    B = -(N // -C) + P - 1
+    to_policy, chunked = roundtrip(assignments, P, C, B)
+    chunks_are_policy_pure(to_policy, chunked, assignments, N)
