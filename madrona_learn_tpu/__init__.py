@@ -45,6 +45,7 @@ from .train import (
     stop_training,
     eval_elo,
     update_population,
+    latest_checkpoint,
     TrainingManager,
     TrainHooks,
 )

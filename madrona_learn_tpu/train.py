@@ -153,6 +153,20 @@ def init_training(
                           restore_ckpt, profile_port)
 
 
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Path of the newest update-indexed checkpoint under ``ckpt_dir``,
+    or None. Supports crash-resume loops::
+
+        mgr = init_training(..., restore_ckpt=latest_checkpoint(ckpt_dir))
+    """
+    if not os.path.isdir(ckpt_dir):
+        return None
+    indexed = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    if not indexed:
+        return None
+    return os.path.join(ckpt_dir, max(indexed, key=int))
+
+
 def stop_training(training_mgr: TrainingManager):
     if training_mgr.profile_port is not None:
         training_mgr.state.train_states.update_prng_key.block_until_ready()

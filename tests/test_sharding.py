@@ -66,3 +66,68 @@ def test_sharding_rules(eight_devices):
     # Placement actually applies.
     sharded = shard_training_manager(mgr, mesh)
     assert len(sharded.rollout.env_returns.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_large_population_sharded_update(eight_devices):
+    """BASELINE config #5 shape (scaled): 32-policy PBT population with
+    cross/past play, envs sharded over data, population over policy."""
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_duel_env
+    from test_pbt_e2e import get_episode_scores, make_policy
+
+    num_train, num_past = 24, 8
+    num_worlds = 384  # sim batch 768, divisible by data=4
+    episode_len = 8
+
+    actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+    sim_fns = make_duel_env(ToyEnvConfig(
+        num_worlds=num_worlds, episode_len=episode_len, num_teams=2,
+        team_size=1, seed=71))
+
+    cfg = mlt.TrainConfig(
+        num_worlds=num_worlds,
+        num_agents_per_world=2,
+        num_updates=1,
+        actions=actions,
+        steps_per_update=8,
+        num_bptt_chunks=1,
+        lr=1e-3,
+        gamma=0.99,
+        gae_lambda=0.95,
+        seed=71,
+        metrics_buffer_size=1,
+        mesh=mlt.MeshConfig(data=4, policy=2),
+        algo=mlt.PPOConfig(
+            num_epochs=1,
+            # train agents/policy = (192+192+96... ) see divisors below
+            minibatch_size=4,
+            clip_coef=0.2,
+            value_loss_coef=0.5,
+            entropy_coef=0.01,
+            max_grad_norm=0.5,
+        ),
+        pbt=mlt.PBTConfig(
+            num_teams=2,
+            team_size=1,
+            num_train_policies=num_train,
+            num_past_policies=num_past,
+            self_play_portion=0.25,
+            cross_play_portion=0.5,
+            past_play_portion=0.25,
+        ),
+        dreamer_v3_critic=False,
+    )
+
+    policy = make_policy(actions)
+    mgr = mlt.init_training(
+        None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mesh = make_mesh(mlt.MeshConfig(data=4, policy=2), eight_devices)
+    mgr = shard_training_manager(mgr, mesh)
+
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+    mgr = update(mgr)
+    loss = np.asarray(mgr.metrics.metrics["Loss"].mean)
+    assert np.isfinite(loss).all()
+    assert mgr.state.policy_states.mmr.elo.shape == (num_train + num_past,)
