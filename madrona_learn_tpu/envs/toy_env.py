@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import random
 
 
@@ -49,8 +50,10 @@ class ToyEnvConfig:
         return self.num_worlds * self.agents_per_world
 
 
-_MOVES = jnp.array(
-    [[0, 0], [0, 1], [0, -1], [1, 0], [-1, 0]], dtype=jnp.int32)
+# numpy (not jnp) so importing this module never initializes a backend —
+# multi-host programs must call jax.distributed.initialize first.
+_MOVES = np.array(
+    [[0, 0], [0, 1], [0, -1], [1, 0], [-1, 0]], dtype=np.int32)
 
 
 def make_toy_env(cfg: ToyEnvConfig):
@@ -84,7 +87,8 @@ def make_toy_env(cfg: ToyEnvConfig):
             state["pos"], state["target"], state["t"], state["key"])
 
         old_dist = jnp.sum(jnp.abs(target - pos), axis=-1, keepdims=True)
-        new_pos = jnp.clip(pos + _MOVES[action], 0, cfg.grid_size - 1)
+        moves = jnp.asarray(_MOVES)
+        new_pos = jnp.clip(pos + moves[action], 0, cfg.grid_size - 1)
         new_dist = jnp.sum(jnp.abs(target - new_pos), axis=-1, keepdims=True)
 
         on_target = (new_dist == 0)

@@ -56,7 +56,12 @@ def test_two_process_distributed(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
 
-    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    # PYTHONPATH must exclude any sitecustomize that eagerly initializes a
+    # backend (jax.distributed.initialize must run first in each worker).
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i)],
