@@ -10,7 +10,6 @@ import flax
 from flax.core import FrozenDict
 
 from .config import TrainConfig
-from .ops.metrics import Metric
 
 
 class HyperParams(flax.struct.PyTreeNode):

@@ -9,7 +9,6 @@ sharded over (absent in the single-GPU reference).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Union
 

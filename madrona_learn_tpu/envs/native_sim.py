@@ -20,7 +20,6 @@ import ctypes
 import os
 import subprocess
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from functools import partial
 
 import jax
 import jax.numpy as jnp

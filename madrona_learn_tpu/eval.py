@@ -11,13 +11,11 @@ checks; ``MADRONA_LEARN_TPU_PRINT_LOWERED=1`` dumps the lowered module.
 
 from __future__ import annotations
 
-from functools import partial
 from os import environ as env_vars
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-from flax.core import FrozenDict
 from jax import random
 from jax.experimental import checkify
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Callable, Union
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 from flax.core import FrozenDict, frozen_dict
 

@@ -26,7 +26,7 @@ import flax
 import jax
 import jax.numpy as jnp
 from flax.core import FrozenDict
-from jax import lax, random
+from jax import random
 
 from ..config import ContinuousActionsConfig
 from ..utils.math import symexp

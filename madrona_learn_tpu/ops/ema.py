@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
 from jax import lax
 import jax.numpy as jnp
 from flax.core import FrozenDict

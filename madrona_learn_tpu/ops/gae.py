@@ -15,7 +15,6 @@ tests and for backends where the kernel is unavailable.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

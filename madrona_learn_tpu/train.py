@@ -28,11 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax.core import FrozenDict
-from jax import lax, random
+from jax import random
 
 from .algo import AlgoBase
 from .config import TrainConfig
-from .ops.metrics import Metric, TrainingMetrics
+from .ops.metrics import TrainingMetrics
 from .pbt import (
     pbt_cull_update,
     pbt_explore_hyperparams,

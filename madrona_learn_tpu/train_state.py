@@ -37,7 +37,6 @@ from jax import random
 
 from .algo import AlgoBase, HyperParams
 from .config import TrainConfig
-from .models.actor_critic import ActorCritic
 from .observations import ObservationsPreprocess, ObservationsPreprocessNoop
 from .ops.ema import EMAEstimate, EMANormalizer
 from .policy import Policy
