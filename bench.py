@@ -13,10 +13,18 @@ env-steps/s @ v5e-16 target (62_500 env-steps/s per chip).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: repeat runs (and the CPU-side init programs)
+# skip recompilation entirely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 NUM_WORLDS = 32768  # throughput sweet spot from the v5e batch-size sweep
