@@ -79,7 +79,10 @@ def main():
         metrics_buffer_size=10,
         algo=mlt.PPOConfig(
             num_epochs=1,
-            minibatch_size=80,
+            # sequences/policy = num_bptt_chunks * train-agents/policy;
+            # train agents = self + cross/2 + past/2 of the sim batch.
+            minibatch_size=(2 * int(args.num_worlds * 2 * 0.625)
+                            // num_train) // 2,
             clip_coef=0.2,
             value_loss_coef=0.5,
             entropy_coef=0.01,
