@@ -389,7 +389,6 @@ def _ppo(
         valid_inds = jnp.where(
             jnp.arange(adv_flat.size) < num_datapoints, sorted_idxs, -1)
         traj_weights = jnp.ones((advantages.shape[0],), jnp.float32)
-        max_minibatches = adv_flat.size // cfg.algo.minibatch_size
     elif cfg.importance_sample_trajectories:
         advantages = rollout_data.all()["advantages"].astype(jnp.float32)
         values = rollout_data.all()["values"].astype(jnp.float32)
@@ -410,14 +409,12 @@ def _ppo(
         valid_inds = random.choice(
             sample_rnd, num_total, shape=(num_sampled,), replace=False,
             p=traj_probs.reshape(-1))
-        max_minibatches = num_minibatches
     else:
         num_trajectories = rollout_data.all()["dones"].shape[0]
         assert num_trajectories % cfg.algo.minibatch_size == 0
         num_minibatches = num_trajectories // cfg.algo.minibatch_size
         valid_inds = jnp.arange(num_trajectories)
         traj_weights = jnp.ones((num_trajectories, 1), jnp.float32)
-        max_minibatches = num_minibatches
 
     def epoch_iter(epoch_i, inputs):
         policy_state, train_state, metrics = inputs

@@ -134,3 +134,54 @@ def test_update_log_probs_match_rollout():
 
     np.testing.assert_allclose(
         np.asarray(recomputed), np.asarray(recorded), rtol=1e-4, atol=1e-5)
+
+
+def test_actor_only_path():
+    """actor_only: deterministic greedy actions, critic tower untouched."""
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneSeparate, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder,
+    )
+    from flax.core import FrozenDict
+
+    dtype = jnp.float32
+    actions_cfg = mlt.DiscreteActionsConfig(actions_num_buckets=[5])
+
+    def make_enc():
+        return RecurrentBackboneEncoder(
+            net=MLP(num_channels=16, num_layers=1, dtype=dtype),
+            rnn=LSTM(num_hidden_channels=8, num_layers=1, dtype=dtype))
+
+    ac = ActorCritic(
+        backbone=BackboneSeparate(
+            prefix=lambda obs, train: obs["x"],
+            actor_encoder=make_enc(),
+            critic_encoder=make_enc()),
+        actor=DictActor(heads={
+            "move": DenseLayerDiscreteActor(cfg=actions_cfg, dtype=dtype)}),
+        critic=DenseLayerCritic(dtype=dtype),
+    )
+
+    N = 4
+    obs = FrozenDict({"x": jnp.ones((N, 6), dtype)})
+    rnn = ac.init_recurrent_state(N)
+    params = ac.init(
+        random.PRNGKey(0), random.PRNGKey(1), rnn, obs, method="rollout")
+
+    out, new_rnn = ac.apply(params, rnn, obs, method="actor_only")
+    assert out["actions"]["move"].shape == (N, 1)
+    # Greedy: identical on repeat.
+    out2, _ = ac.apply(params, rnn, obs, method="actor_only")
+    np.testing.assert_array_equal(
+        np.asarray(out["actions"]["move"]), np.asarray(out2["actions"]["move"]))
+    # Critic tower state slot is untouched by actor_only.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), new_rnn[1], rnn[1])
+    # Actor tower state advanced.
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: bool((np.asarray(a) != np.asarray(b)).any()),
+        new_rnn[0], rnn[0]))
+    assert any(moved)
