@@ -19,3 +19,4 @@ from .actor_critic import (
     BackboneShared,
     BackboneSeparate,
 )
+from .transformer_memory import WindowAttentionMemory
