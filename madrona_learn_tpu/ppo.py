@@ -411,7 +411,10 @@ def _ppo(
             p=traj_probs.reshape(-1))
     else:
         num_trajectories = rollout_data.all()["dones"].shape[0]
-        assert num_trajectories % cfg.algo.minibatch_size == 0
+        assert num_trajectories % cfg.algo.minibatch_size == 0, (
+            f"minibatch_size ({cfg.algo.minibatch_size}) must evenly divide "
+            f"the {num_trajectories} training sequences per policy "
+            f"(= num_bptt_chunks * train agents per policy)")
         num_minibatches = num_trajectories // cfg.algo.minibatch_size
         valid_inds = jnp.arange(num_trajectories)
         traj_weights = jnp.ones((num_trajectories, 1), jnp.float32)

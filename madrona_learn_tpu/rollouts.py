@@ -533,7 +533,9 @@ class RolloutManager:
             train_cfg.dreamer_v3_critic or train_cfg.hlgauss_critic)
 
         self._num_bptt_chunks = train_cfg.num_bptt_chunks
-        assert train_cfg.steps_per_update % train_cfg.num_bptt_chunks == 0
+        assert train_cfg.steps_per_update % train_cfg.num_bptt_chunks == 0, (
+            f"steps_per_update ({train_cfg.steps_per_update}) must be "
+            f"divisible by num_bptt_chunks ({train_cfg.num_bptt_chunks})")
         self._num_bptt_steps = (
             train_cfg.steps_per_update // train_cfg.num_bptt_chunks)
 

@@ -22,6 +22,7 @@ per-policy lrs vmap/shard cleanly over the population axis.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -106,6 +107,8 @@ class TrainStateManager(flax.struct.PyTreeNode):
     # -- checkpointing -------------------------------------------------------
 
     def save(self, next_update, path):
+        path = os.path.abspath(path)  # orbax requires absolute paths
+
         def prepare(x):
             if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
                 x = random.key_data(x)
@@ -123,6 +126,7 @@ class TrainStateManager(flax.struct.PyTreeNode):
         checkpointer.save(path, ckpt)
 
     def load(self, path):
+        path = os.path.abspath(path)
         checkpointer = orbax.checkpoint.PyTreeCheckpointer()
         restore_desc = {
             "next_update": 0,
@@ -154,6 +158,7 @@ class TrainStateManager(flax.struct.PyTreeNode):
     @staticmethod
     def slice_checkpoint(src, dst, train_select, past_select):
         """Re-slice a checkpointed population into a new train/past split."""
+        src, dst = os.path.abspath(src), os.path.abspath(dst)
         checkpointer = orbax.checkpoint.PyTreeCheckpointer()
         loaded = checkpointer.restore(src)
 
@@ -178,6 +183,7 @@ class TrainStateManager(flax.struct.PyTreeNode):
     @staticmethod
     def load_policies(policy: Policy, path):
         """Load just the policy states from a checkpoint (for eval)."""
+        path = os.path.abspath(path)
         checkpointer = orbax.checkpoint.PyTreeCheckpointer()
         loaded = checkpointer.restore(path)
 
