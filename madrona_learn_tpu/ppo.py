@@ -133,6 +133,14 @@ def _ppo_update(
     train_state: PolicyTrainState,
     metrics: TrainingMetrics,
 ):
+    # Per-trajectory weights must enter as [mb, 1] so they broadcast against
+    # the time-major [T, mb, ...] per-element losses as one weight per
+    # trajectory. A 1-D [mb] here silently broadcasts to [T, mb, mb],
+    # degenerating every weighted mean to mean(w) * mean(loss) and blowing up
+    # memory by mb x. Static shapes make this checkable at trace time.
+    assert mb_weights.ndim == 2 and mb_weights.shape[-1] == 1, (
+        f"mb_weights must be [minibatch, 1], got {mb_weights.shape}")
+
     value_norm = train_state.value_normalizer
     hp = train_state.hyper_params
 
@@ -388,7 +396,7 @@ def _ppo(
         num_datapoints = num_minibatches * cfg.algo.minibatch_size
         valid_inds = jnp.where(
             jnp.arange(adv_flat.size) < num_datapoints, sorted_idxs, -1)
-        traj_weights = jnp.ones((advantages.shape[0],), jnp.float32)
+        traj_weights = jnp.ones((advantages.shape[0], 1), jnp.float32)
     elif cfg.importance_sample_trajectories:
         advantages = rollout_data.all()["advantages"].astype(jnp.float32)
         values = rollout_data.all()["values"].astype(jnp.float32)
@@ -400,15 +408,19 @@ def _ppo(
         assert num_sampled < num_total and num_minibatches > 0
 
         traj_scores = (
-            jnp.mean(jnp.abs(advantages), axis=1)
-            + jnp.mean(jnp.abs(values - returns), axis=1))
+            jnp.mean(jnp.abs(advantages).reshape(num_total, -1), axis=1)
+            + jnp.mean(jnp.abs(values - returns).reshape(num_total, -1),
+                       axis=1))
         traj_probs = jax.nn.softmax(traj_scores, axis=0)
-        traj_weights = (1.0 / num_total) / traj_probs
+        # Unbiasedness correction: E_sample[w_i * loss_i] = mean_i loss_i.
+        # Shaped [num_total, 1] so each weight applies to a whole trajectory
+        # (reference: ppo.py:407-435).
+        traj_weights = ((1.0 / num_total) / traj_probs)[:, None]
 
         sample_rnd, train_state = train_state.gen_update_rnd()
         valid_inds = random.choice(
             sample_rnd, num_total, shape=(num_sampled,), replace=False,
-            p=traj_probs.reshape(-1))
+            p=traj_probs)
     else:
         num_trajectories = rollout_data.all()["dones"].shape[0]
         assert num_trajectories % cfg.algo.minibatch_size == 0, (
