@@ -19,6 +19,7 @@ degenerate mesh reproduces reference semantics exactly.
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -417,6 +418,15 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
     # pairs in that regime and all pairs, repeated, otherwise.)
     num_match_slots = sim_batch_size // (team_size * num_teams)
     pairs_arr = np.asarray(pairs, np.int32).reshape(-1, num_teams)
+    if num_match_slots < pairs_arr.shape[0]:
+        warnings.warn(
+            f"all-pairs eval underfilled: sim batch provides "
+            f"{num_match_slots} match slots but the tournament has "
+            f"{pairs_arr.shape[0]} pairings; the last "
+            f"{pairs_arr.shape[0] - num_match_slots} pairings get no "
+            f"matches this eval, so Elo updates are partial. Increase "
+            f"num_worlds or reduce the population.",
+            stacklevel=2)
     slot_idx = np.arange(num_match_slots) % pairs_arr.shape[0]
     assignments = pairs_arr[slot_idx]  # [num_match_slots, num_teams]
     assignments = np.repeat(assignments.reshape(-1), team_size)

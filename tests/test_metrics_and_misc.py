@@ -145,6 +145,55 @@ def test_sim_state_snapshots():
         np.asarray(state.cur_obs["delta"]))
 
 
+def test_wandb_writer_with_stub(tmp_path, monkeypatch):
+    """WandbWriter mirrors scalars to wandb.log (exercised against a stub
+    module so the optional dependency isn't required)."""
+    import sys
+    import types
+
+    calls = {"init": [], "log": []}
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: calls["init"].append(kw)
+    stub.log = lambda data, step=None: calls["log"].append((data, step))
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from madrona_learn_tpu.utils.wandb import WandbWriter
+
+    writer = WandbWriter(str(tmp_path / "wb"), config={"lr": 1e-3})
+    writer.scalar("loss", 0.5, 3)
+    writer.flush()
+
+    assert calls["init"] and calls["init"][0]["sync_tensorboard"] is True
+    assert calls["init"][0]["config"] == {"lr": 1e-3}
+    assert calls["log"] == [({"loss": 0.5}, 3)]
+    files = os.listdir(str(tmp_path / "wb"))
+    assert any("tfevents" in f for f in files)
+
+
+def test_all_pairs_underfill_warns():
+    """An eval batch smaller than the pair list warns with the dropped-pair
+    count; a sufficient batch stays silent."""
+    import warnings as _warnings
+
+    from madrona_learn_tpu.train import _build_all_pairs_assignments
+
+    # 4 policies -> 16 pairings; batch of 8 (1v1) = 8 slots -> underfilled.
+    with pytest.warns(UserWarning, match="underfilled"):
+        a = _build_all_pairs_assignments(
+            num_eval_policies=4, custom_policy_ids=[],
+            sim_batch_size=16, num_teams=2, team_size=1)
+    assert a.shape == (16,)
+
+    # 32 slots >= 16 pairings -> no warning, every pairing present.
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        a = _build_all_pairs_assignments(
+            num_eval_policies=4, custom_policy_ids=[],
+            sim_batch_size=64, num_teams=2, team_size=1)
+    pairs = set(map(tuple, np.asarray(a).reshape(-1, 2)))
+    assert pairs == {(x, y) for x in range(4) for y in range(4)}
+
+
 def test_slice_checkpoint(tmp_path):
     mgr, _ = run_training(num_updates=1, num_worlds=16, seed=31)
     ckpt_dir = str(tmp_path / "ck")
