@@ -1,0 +1,253 @@
+"""Learning-curve parity: run the REFERENCE library and this repo side by
+side on the identical toy environment and compare reward curves.
+
+The reference (at /root/reference/src, importable on the installed JAX stack
+with a one-line ``jax.tree_map`` alias shim) is driven through its own public
+API — ``init_training`` / ``TrainingManager.update_iter`` (reference:
+train.py:131, train.py:51-60) — on the same gridworld dynamics, model
+architecture, and PPO hyperparameters as our run. Curves from N seeds per
+side are printed and summarized; the check passes when the final-quartile
+mean rewards of the two implementations overlap within the cross-seed spread.
+
+Usage:
+    env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/parity_curves.py \
+        [--updates 30] [--worlds 256] [--seeds 3] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Pure aliases for the reference's older-API calls (no behavior change).
+if not hasattr(jax, "tree_map"):
+    jax.tree_map = jax.tree.map
+if not hasattr(jax, "tree_leaves"):
+    jax.tree_leaves = jax.tree.leaves
+
+REF_SRC = "/root/reference/src"
+
+NUM_CHANNELS = 128
+EPISODE_LEN = 40
+GRID = 8
+LR = 1e-3
+
+
+def _curve_from_metrics(metric_mean):
+    return float(np.nanmean(np.asarray(metric_mean, np.float64)))
+
+
+def run_ours(seed, num_updates, num_worlds):
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+
+    actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+    sim_fns = make_toy_env(ToyEnvConfig(
+        num_worlds=num_worlds, episode_len=EPISODE_LEN, grid_size=GRID,
+        seed=seed))
+
+    ac = ActorCritic(
+        backbone=BackboneShared(
+            prefix=lambda obs, train: jnp.concatenate(
+                [obs["delta"], obs["time"]], axis=-1),
+            encoder=RecurrentBackboneEncoder(
+                net=MLP(num_channels=NUM_CHANNELS, num_layers=2,
+                        dtype=jnp.float32),
+                rnn=LSTM(num_hidden_channels=NUM_CHANNELS, num_layers=1,
+                         dtype=jnp.float32))),
+        actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+            cfg=actions["move"], dtype=jnp.float32)}),
+        critic=DenseLayerCritic(dtype=jnp.float32))
+    policy = mlt.Policy(
+        actor_critic=ac,
+        obs_preprocess=mlt.ObservationsEMANormalizer.create(
+            decay=0.99999, dtype=jnp.float32))
+
+    cfg = mlt.TrainConfig(
+        num_worlds=num_worlds, num_agents_per_world=1,
+        num_updates=num_updates, actions=actions,
+        steps_per_update=EPISODE_LEN, num_bptt_chunks=2, lr=LR,
+        gamma=0.99, gae_lambda=0.95, seed=seed, metrics_buffer_size=1,
+        algo=mlt.PPOConfig(
+            num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
+            value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
+        dreamer_v3_critic=False)
+
+    mgr = mlt.init_training(None, cfg, sim_fns, policy,
+                            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+    curve = []
+    for _ in range(num_updates):
+        mgr = update(mgr)
+        curve.append(_curve_from_metrics(
+            jax.device_get(mgr.metrics.metrics["Rewards"].mean)))
+    return curve
+
+
+def run_reference(seed, num_updates, num_worlds):
+    sys.path.insert(0, REF_SRC)
+    import flax
+    import flax.linen as nn
+    import madrona_learn as ml
+    from flax.core import FrozenDict
+    from jax import random
+    from madrona_learn.models import (
+        MLP, DenseLayerCritic, DenseLayerDiscreteActor)
+    from madrona_learn.rnn import LSTM
+
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+
+    # The reference's PPO loss iterates dict-keyed entropies/log-probs
+    # (reference: ppo.py:220-243) and the sim contract's actions are a dict
+    # (reference: rollouts.py:905-927), but its in-repo
+    # DenseLayerDiscreteActor returns bare concatenated arrays — the dict
+    # wrapper lives in the external training scripts. Recreate that wrapper
+    # here so the reference runs exactly as deployed.
+    class RefDictDists(flax.struct.PyTreeNode):
+        dists: FrozenDict
+
+        def sample(self, prng_key):
+            keys = random.split(prng_key, len(self.dists))
+            actions, log_probs = {}, {}
+            for key, (name, dist) in zip(keys, sorted(self.dists.items())):
+                actions[name], log_probs[name] = dist.sample(key)
+            return FrozenDict(actions), FrozenDict(log_probs)
+
+        def best(self):
+            return FrozenDict(
+                {name: dist.best() for name, dist in self.dists.items()})
+
+        def action_stats(self, all_actions):
+            log_probs, entropies = {}, {}
+            for name, dist in self.dists.items():
+                log_probs[name], entropies[name] = dist.action_stats(
+                    all_actions[name])
+            return FrozenDict(log_probs), FrozenDict(entropies)
+
+    class RefDictActor(nn.Module):
+        heads: dict
+
+        @nn.compact
+        def __call__(self, features, train=False):
+            return RefDictDists(FrozenDict({
+                name: head(features, train=train)
+                for name, head in self.heads.items()}))
+
+    actions = {"move": ml.DiscreteActionsConfig(actions_num_buckets=[5])}
+    sim_fns = make_toy_env(ToyEnvConfig(
+        num_worlds=num_worlds, episode_len=EPISODE_LEN, grid_size=GRID,
+        seed=seed))
+
+    ac = ml.ActorCritic(
+        backbone=ml.BackboneShared(
+            prefix=lambda obs, train: jnp.concatenate(
+                [obs["delta"], obs["time"]], axis=-1),
+            encoder=ml.RecurrentBackboneEncoder(
+                net=MLP(num_channels=NUM_CHANNELS, num_layers=2,
+                        dtype=jnp.float32),
+                rnn=LSTM(num_hidden_channels=NUM_CHANNELS, num_layers=1,
+                         dtype=jnp.float32))),
+        actor=RefDictActor(heads={"move": DenseLayerDiscreteActor(
+            cfg=actions["move"], dtype=jnp.float32)}),
+        critic=DenseLayerCritic(dtype=jnp.float32))
+    policy = ml.Policy(
+        actor_critic=ac,
+        obs_preprocess=ml.ObservationsEMANormalizer.create(
+            decay=0.99999, dtype=jnp.float32))
+
+    cfg = ml.TrainConfig(
+        num_worlds=num_worlds, num_agents_per_world=1,
+        num_updates=num_updates, actions=actions,
+        steps_per_update=EPISODE_LEN, num_bptt_chunks=2, lr=LR,
+        gamma=0.99, gae_lambda=0.95, seed=seed, metrics_buffer_size=1,
+        algo=ml.PPOConfig(
+            num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
+            value_loss_coef=0.5, entropy_coef={"move": 0.01},
+            max_grad_norm=0.5),
+        dreamer_v3_critic=False)
+
+    mgr = ml.init_training(jax.devices()[0], cfg, sim_fns, policy,
+                           init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+    curve = []
+    for _ in range(num_updates):
+        mgr = update(mgr)
+        curve.append(_curve_from_metrics(
+            jax.device_get(mgr.metrics.metrics["Rewards"].mean)))
+    return curve
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--updates", type=int, default=30)
+    parser.add_argument("--worlds", type=int, default=256)
+    parser.add_argument("--seeds", type=int, default=3)
+    parser.add_argument("--json", type=str, default=None)
+    args = parser.parse_args()
+
+    ref_curves, our_curves = [], []
+    for s in range(args.seeds):
+        print(f"--- reference seed {s} ---", flush=True)
+        ref_curves.append(run_reference(s, args.updates, args.worlds))
+        print(f"--- ours seed {s} ---", flush=True)
+        our_curves.append(run_ours(s, args.updates, args.worlds))
+
+    ref = np.asarray(ref_curves)   # [seeds, updates]
+    ours = np.asarray(our_curves)
+
+    q = max(1, args.updates // 4)  # final quartile
+    ref_final = ref[:, -q:].mean(axis=1)
+    our_final = ours[:, -q:].mean(axis=1)
+
+    print("\nupdate-by-update mean reward (mean over seeds):")
+    print("  update |  reference |  ours")
+    for i in range(args.updates):
+        print(f"  {i + 1:6d} | {ref[:, i].mean():10.4f} |"
+              f" {ours[:, i].mean():8.4f}")
+
+    spread = max(ref_final.std(), our_final.std(), 1e-3)
+    gap = abs(ref_final.mean() - our_final.mean())
+    # Overlap criterion: implementations differ by less than 3x the
+    # cross-seed spread of either, and both clearly learned (final >> first).
+    ok = (gap < 3 * spread
+          and ref_final.mean() > 3 * abs(ref[:, 0].mean())
+          and our_final.mean() > 3 * abs(ours[:, 0].mean()))
+
+    result = {
+        "ref_final_mean": float(ref_final.mean()),
+        "ref_final_std": float(ref_final.std()),
+        "ours_final_mean": float(our_final.mean()),
+        "ours_final_std": float(our_final.std()),
+        "gap": float(gap),
+        "spread": float(spread),
+        "within_seed_variance": bool(ok),
+        "updates": args.updates,
+        "worlds": args.worlds,
+        "seeds": args.seeds,
+        "ref_curve_mean": ref.mean(axis=0).tolist(),
+        "ours_curve_mean": ours.mean(axis=0).tolist(),
+    }
+    print(f"\nfinal-quartile mean reward: reference "
+          f"{ref_final.mean():.4f}±{ref_final.std():.4f}  ours "
+          f"{our_final.mean():.4f}±{our_final.std():.4f}  gap {gap:.4f} "
+          f"(3x spread = {3 * spread:.4f})")
+    print("PARITY OK" if ok else "PARITY FAIL")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
