@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -142,11 +143,44 @@ def training_manager_shardings(training_mgr, mesh: Mesh):
     )
 
 
+def _place_global(x, sharding):
+    """Place one (host-replicated) leaf onto a possibly multi-process
+    sharding.
+
+    Single-process: plain ``device_put``. Multi-process: ``device_put``
+    rejects shardings with non-addressable devices, so build the global
+    array from each process's local view with ``make_array_from_callback``
+    — every process computed the identical full value during init (SPMD), so
+    slicing the local copy yields consistent global shards. PRNG-key arrays
+    are unwrapped to their uint32 key data and rewrapped (extended dtypes
+    can't round-trip through numpy)."""
+    if x is None or not hasattr(x, "shape"):
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+
+    if isinstance(x, jax.Array) and jnp.issubdtype(
+            x.dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(x)
+        data = np.asarray(jax.device_get(jax.random.key_data(x)))
+        placed = jax.make_array_from_callback(
+            data.shape, sharding, lambda idx: data[idx])
+        return jax.random.wrap_key_data(placed, impl=impl)
+
+    host = np.asarray(jax.device_get(x))
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx])
+
+
 def shard_training_manager(training_mgr, mesh: Mesh):
-    """Place a TrainingManager across the mesh per the sharding rules."""
+    """Place a TrainingManager across the mesh per the sharding rules.
+
+    Multi-host safe: call from every process after ``init_training`` (each
+    process initializes the identical state; leaves become global sharded
+    arrays)."""
     shardings = training_manager_shardings(training_mgr, mesh)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, s),
+        _place_global,
         training_mgr, shardings,
         is_leaf=lambda x: x is None,
     )

@@ -106,36 +106,50 @@ class TrainStateManager(flax.struct.PyTreeNode):
 
     # -- checkpointing -------------------------------------------------------
 
-    def save(self, next_update, path):
-        path = os.path.abspath(path)  # orbax requires absolute paths
+    def _ckpt_tree(self, next_update):
+        """The checkpoint pytree: PRNG keys unwrapped to their uint32 key
+        data (sharding-preserving — no host transfer), everything else left
+        as (possibly multi-host-sharded) ``jax.Array``s for orbax to
+        serialize collectively."""
 
         def prepare(x):
-            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
-                x = random.key_data(x)
-            return np.asarray(x)
+            if isinstance(x, jax.Array) and jnp.issubdtype(
+                    x.dtype, jax.dtypes.prng_key):
+                return random.key_data(x)
+            return x
 
-        prepared = jax.tree.map(prepare, jax.device_get(self))
-        ckpt = {
-            "next_update": next_update,
-            "policy_states": prepared.policy_states,
-            "train_states": prepared.train_states,
-            "pbt_rng": prepared.pbt_rng,
-            "user_state": prepared.user_state,
+        return {
+            "next_update": np.asarray(jax.device_get(next_update)),
+            "policy_states": jax.tree.map(prepare, self.policy_states),
+            "train_states": jax.tree.map(prepare, self.train_states),
+            "pbt_rng": prepare(self.pbt_rng),
+            "user_state": jax.tree.map(prepare, self.user_state),
         }
+
+    def save(self, next_update, path):
+        """Collective checkpoint save.
+
+        Multi-host safe (unlike the reference's host-gather flow, reference:
+        train_state.py:145-165): sharded leaves go to orbax as global
+        ``jax.Array``s, so every process writes only its addressable shards
+        and no cross-host gather or full-tree host copy happens. Call from
+        ALL processes.
+        """
+        path = os.path.abspath(path)  # orbax requires absolute paths
         checkpointer = orbax.checkpoint.PyTreeCheckpointer()
-        checkpointer.save(path, ckpt)
+        checkpointer.save(path, self._ckpt_tree(next_update))
 
     def load(self, path):
+        """Collective restore; each leaf comes back with the sharding the
+        corresponding leaf of ``self`` currently has. Call from ALL
+        processes."""
         path = os.path.abspath(path)
         checkpointer = orbax.checkpoint.PyTreeCheckpointer()
-        restore_desc = {
-            "next_update": 0,
-            "policy_states": self.policy_states,
-            "train_states": self.train_states,
-            "pbt_rng": self.pbt_rng,
-            "user_state": self.user_state,
-        }
-        loaded = checkpointer.restore(path, item=restore_desc)
+        restore_desc = self._ckpt_tree(jnp.zeros((), jnp.int32))
+        restore_args = orbax.checkpoint.checkpoint_utils.\
+            construct_restore_args(restore_desc)
+        loaded = checkpointer.restore(
+            path, item=restore_desc, restore_args=restore_args)
 
         def restore_leaf(a, b):
             if jnp.issubdtype(b.dtype, jax.dtypes.prng_key):
