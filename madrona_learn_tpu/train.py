@@ -434,6 +434,9 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
     return jnp.asarray(assignments)
 
 
+_ELO_TOURNAMENT_CACHE: Dict[Any, Callable] = {}
+
+
 def eval_elo(
     training_mgr: TrainingManager,
     num_eval_steps: int,
@@ -441,7 +444,27 @@ def eval_elo(
     train_sim_ctrl: jax.Array,
 ):
     """All-pairs static-matchmaking tournament; returns updated Elos
-    (re-baselined to 1500 against the baseline policy) + deltas."""
+    (re-baselined to 1500 against the baseline policy) + deltas.
+
+    The tournament is jitted and cached per (config, num_eval_steps), so
+    in-loop tournaments pay compile time once — repeated eager calls reuse
+    the compiled program (the reference re-traces its host-driven loop every
+    call, reference: train.py:397-549)."""
+    key = (repr(training_mgr.cfg), num_eval_steps)
+    fn = _ELO_TOURNAMENT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_eval_elo_impl, num_eval_steps=num_eval_steps))
+        _ELO_TOURNAMENT_CACHE[key] = fn
+    return fn(training_mgr, eval_sim_ctrl, train_sim_ctrl)
+
+
+def _eval_elo_impl(
+    training_mgr: TrainingManager,
+    eval_sim_ctrl: jax.Array,
+    train_sim_ctrl: jax.Array,
+    *,
+    num_eval_steps: int,
+):
     train_cfg = training_mgr.cfg
     policy_states = training_mgr.state.policy_states
     rollout_state = training_mgr.rollout

@@ -71,3 +71,31 @@ def test_elo_orders_by_strength_and_cull_copies_winner():
     np.testing.assert_array_equal(
         actor_bias(params_after, weakest),
         actor_bias(params_before, strongest))
+
+
+@pytest.mark.slow
+def test_eval_elo_compile_cached_across_calls():
+    """Eager eval_elo calls must reuse the compiled tournament: the second
+    call may not pay trace+compile time again."""
+    import time
+
+    mgr = build_training_mgr(seed=29)
+    kwargs = dict(
+        num_eval_steps=8,
+        eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
+        train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    t0 = time.perf_counter()
+    mgr2, deltas = mlt.eval_elo(mgr, **kwargs)
+    jax.block_until_ready(deltas)
+    first = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mgr3, deltas = mlt.eval_elo(mgr2, **kwargs)
+    jax.block_until_ready(deltas)
+    second = time.perf_counter() - t0
+
+    # Compile dominates the first call by orders of magnitude on this tiny
+    # config; 4x is a loose bound robust to CI noise.
+    assert second < first / 4, (first, second)
+    assert np.isfinite(np.asarray(mgr3.state.policy_states.mmr.elo)).all()
