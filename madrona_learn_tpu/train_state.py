@@ -170,11 +170,24 @@ class TrainStateManager(flax.struct.PyTreeNode):
         ), loaded["next_update"]
 
     @staticmethod
+    def restore_host(path):
+        """Restore a checkpoint tree as host numpy arrays (no device
+        placement) — for population surgery and cross-platform inspection
+        where the saving topology may not exist."""
+        path = os.path.abspath(path)
+        checkpointer = orbax.checkpoint.PyTreeCheckpointer()
+        meta = checkpointer.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: orbax.checkpoint.RestoreArgs(restore_type=np.ndarray),
+            meta.tree)
+        return checkpointer.restore(path, restore_args=restore_args)
+
+    @staticmethod
     def slice_checkpoint(src, dst, train_select, past_select):
         """Re-slice a checkpointed population into a new train/past split."""
         src, dst = os.path.abspath(src), os.path.abspath(dst)
         checkpointer = orbax.checkpoint.PyTreeCheckpointer()
-        loaded = checkpointer.restore(src)
+        loaded = TrainStateManager.restore_host(src)
 
         train_states = jax.tree.map(
             lambda x: x[train_select], loaded["train_states"])
