@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--agents", type=int, default=16384)
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--channels", type=int, default=512)
+    parser.add_argument(
+        "--chunk", type=str, default="",
+        help="comma-separated policy chunk sizes to sweep (default: the "
+             "N//P heuristic)")
     args = parser.parse_args()
 
     import madrona_learn_tpu as mlt
@@ -53,8 +57,14 @@ def main():
 
     P = args.policies
     N = args.agents
-    C = max(64, 1 << ((N // P - 1).bit_length()))
-    B = -(N // -C) + P - 1
+    # Match RolloutConfig.setup's heuristic: pow2 per-policy share capped
+    # by the padding budget (padding rows <= half the batch).
+    default_c = max(64, 1 << ((N // P - 1).bit_length()))
+    pad_budget = N // (2 * max(P - 1, 1))
+    if pad_budget >= 1:
+        default_c = min(default_c, max(64, 1 << (pad_budget.bit_length() - 1)))
+    chunk_sizes = ([int(c) for c in args.chunk.split(",")] if args.chunk
+                   else [default_c])
 
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
     actor_critic = ActorCritic(
@@ -94,7 +104,10 @@ def main():
         return actor_critic.apply(
             params, key, rnn, obs, method="rollout")
 
-    def run(params, obs, rnn_states, key):
+    for C in chunk_sizes:
+      B = -(N // -C) + P - 1
+
+      def run(params, obs, rnn_states, key):
         def step(carry, _):
             rnn_states, key = carry
             key, assign_key, sample_key = random.split(key, 3)
@@ -121,26 +134,26 @@ def main():
             step, (rnn_states, key), None, length=args.steps)
         return rnn_states
 
-    def run_reduced(params, obs, rnn_states, key):
+      def run_reduced(params, obs, rnn_states, key):
         out = run(params, obs, rnn_states, key)
         # Reduce to scalars: fetching them is the only sync some remote
         # backends honor (block_until_ready can return early over RPC).
         return jax.tree.map(
             lambda x: jnp.sum(x.astype(jnp.float32)), out)
 
-    compiled = jax.jit(run_reduced).lower(
-        params, obs, rnn_states, random.key(1)).compile()
+      compiled = jax.jit(run_reduced).lower(
+          params, obs, rnn_states, random.key(1)).compile()
 
-    jax.device_get(compiled(params, obs, rnn_states, random.key(1)))
+      jax.device_get(compiled(params, obs, rnn_states, random.key(1)))
 
-    start = time.perf_counter()
-    jax.device_get(compiled(params, obs, rnn_states, random.key(2)))
-    elapsed = time.perf_counter() - start
+      start = time.perf_counter()
+      jax.device_get(compiled(params, obs, rnn_states, random.key(2)))
+      elapsed = time.perf_counter() - start
 
-    rate = N * args.steps / elapsed
-    print(f"{P} policies x {N} agents x {args.steps} steps "
-          f"({args.channels}ch {dtype.__name__}): "
-          f"{rate:,.0f} agent-steps/s on {backend}")
+      rate = N * args.steps / elapsed
+      print(f"{P} policies x {N} agents x {args.steps} steps "
+            f"({args.channels}ch {dtype.__name__}, chunk {C} x {B}): "
+            f"{rate:,.0f} agent-steps/s on {backend}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+"""Profile the headline bench update step: MFU + phase breakdown + XProf.
+
+Answers "where does the update-step time go" with three measurements:
+
+1. **MFU**: XLA's own cost model (``compiled.cost_analysis()['flops']``)
+   over measured wall time vs. peak bf16 FLOPs (v5e: 197 TFLOP/s).
+2. **Phase split**: the rollout-collection sub-program (inference + sim +
+   GAE + store finalize) is compiled and timed standalone; learn time is the
+   difference to the full update.
+3. **XProf artifact**: a ``jax.profiler.trace`` capture of the steady-state
+   update, written to ``artifacts/xprof/`` for TensorBoard's profile plugin.
+
+Run: python benchmarks/profile_update.py [--no-trace]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+PEAK_BF16_FLOPS = {
+    "tpu": 197e12,   # v5e per chip
+    "cpu": 1e12,     # nominal, for smoke runs
+}
+
+
+def time_compiled(compiled, args, sync, n=5):
+    out = compiled(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = compiled(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / n, out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--no-trace", action="store_true")
+    parser.add_argument("--updates", type=int, default=5)
+    args = parser.parse_args()
+
+    import bench
+    from flax.core import FrozenDict
+
+    from madrona_learn_tpu.ops.metrics import TrainingMetrics
+    from madrona_learn_tpu.rollouts import RolloutManager
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    mgr = bench.build_manager(dtype)
+
+    sync = lambda m: jax.device_get(jax.tree.leaves(m)[0])
+
+    # -- full update ---------------------------------------------------------
+    update = jax.jit(lambda m: m.update_iter())
+    update_c = update.lower(mgr).compile()
+    flops = update_c.cost_analysis().get("flops", 0.0)
+
+    full_dt, _ = time_compiled(
+        update_c, (mgr,),
+        lambda m: jax.device_get(m.metrics.metrics["Loss"].mean),
+        n=args.updates)
+
+    env_steps = bench.NUM_WORLDS * bench.STEPS_PER_UPDATE
+    steps_per_s = env_steps / full_dt
+    mfu = flops / full_dt / PEAK_BF16_FLOPS.get(backend, 197e12)
+
+    # -- collect-only sub-program -------------------------------------------
+    policy_states = mgr.state.policy_states
+    rollout_mgr = RolloutManager(mgr.cfg, mgr.rollout, policy_states)
+
+    def collect_only(state, rollout):
+        metrics = TrainingMetrics.create(
+            rollout_mgr.add_metrics(mgr.cfg, FrozenDict({})),
+            buffer_size=1, start_update_idx=0, num_policies=1)
+        out = rollout_mgr.collect(
+            state, rollout, metrics,
+            lambda rs, us: (rs, us),
+            lambda r, bv, uv, ubv, us: (r, us),
+            lambda m, r, us: m)
+        return out[2]  # rollout_data
+
+    collect_c = jax.jit(collect_only).lower(mgr.state, mgr.rollout).compile()
+    collect_flops = collect_c.cost_analysis().get("flops", 0.0)
+    collect_dt, _ = time_compiled(
+        collect_c, (mgr.state, mgr.rollout),
+        lambda rd: jax.device_get(
+            jax.tree.leaves(rd.data)[0][0, 0]),
+        n=args.updates)
+
+    learn_dt = max(full_dt - collect_dt, 0.0)
+
+    # -- XProf capture -------------------------------------------------------
+    trace_dir = None
+    if not args.no_trace:
+        trace_dir = os.path.abspath("artifacts/xprof")
+        os.makedirs(trace_dir, exist_ok=True)
+        m = update_c(mgr)
+        jax.device_get(m.metrics.metrics["Loss"].mean)
+        with jax.profiler.trace(trace_dir):
+            m = update_c(mgr)
+            jax.device_get(m.metrics.metrics["Loss"].mean)
+
+    result = {
+        "backend": backend,
+        "env_steps_per_s": round(steps_per_s, 1),
+        "update_ms": round(full_dt * 1e3, 2),
+        "collect_ms": round(collect_dt * 1e3, 2),
+        "learn_ms": round(learn_dt * 1e3, 2),
+        "collect_frac": round(collect_dt / full_dt, 3),
+        "xla_flops_per_update": flops,
+        "collect_flops": collect_flops,
+        "mfu": round(mfu, 4),
+        "trace_dir": trace_dir,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

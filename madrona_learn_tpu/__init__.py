@@ -49,7 +49,7 @@ from .train import (
     TrainingManager,
     TrainHooks,
 )
-from .train_state import TrainStateManager
+from .train_state import TrainStateManager, wait_for_checkpoints
 from .eval import eval_load_ckpt, eval_policies
 from .rollouts import (
     RolloutConfig,
@@ -116,6 +116,7 @@ __all__ = [
     "TrainingManager",
     "TrainHooks",
     "TrainStateManager",
+    "wait_for_checkpoints",
     "eval_load_ckpt",
     "eval_policies",
     "TensorboardWriter",

@@ -4,11 +4,12 @@ Capability parity with the reference entity net (reference: models.py:59-97,
 451-540): per-entity-type embeddings, multi-head self-attention over the
 entity axis, mean-pool, and a feed-forward residual block.
 
-TPU notes: entity counts are O(10); the attention matmul is tiny, so the win
-on TPU is keeping everything in one fused bf16 region rather than a flash
-kernel. ``SelfAttention`` pads the entity axis to a multiple of 8 (f32
-sublane) so the QK^T / PV contractions tile onto the MXU without relayout. An
-optional Pallas fused-attention path is exposed for large entity counts.
+TPU notes: ``SelfAttention`` pads the entity axis to a multiple of 8 (f32
+sublane) so the QK^T / PV contractions tile onto the MXU without relayout.
+Rollout-path forwards route through the fused Pallas kernel
+(`ops/pallas/attention.py`, masked via static valid_len) — measured faster
+than the XLA path up to ~128 entities; training fwd+bwd stays on XLA where
+it wins (numbers in benchmarks/attention_bench.py).
 """
 
 from __future__ import annotations
@@ -23,6 +24,16 @@ from flax import linen as nn
 from .common import LayerNorm
 
 
+def _pallas_backend_ok() -> bool:
+    """Compiled Pallas needs a real TPU: honor an explicitly pinned default
+    device first (``jax.default_backend()`` reports the primary backend even
+    when computation is pinned elsewhere, e.g. CPU-mesh dryruns)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 class SelfAttention(nn.Module):
     num_heads: int
     qkv_features: int
@@ -31,7 +42,7 @@ class SelfAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
         seq_len = x.shape[-2]
         # Pad entity axis up to the sublane multiple so the contraction tiles
         # cleanly; masked entities attend with -inf bias.
@@ -39,24 +50,43 @@ class SelfAttention(nn.Module):
         padded_len = -(seq_len // -pad_to) * pad_to
         pad = padded_len - seq_len
 
-        if self.use_pallas:
+        # The fused kernel wins on pure forwards (v5e, bf16, 16384 batch:
+        # +7.8% at 16 entities, +15% at 128 — benchmarks/attention_bench.py)
+        # but its backward recomputes through the jnp twin and loses ~7-20%
+        # on fwd+bwd, so route it only on the inference path.
+        use_pallas = self.use_pallas and not train and _pallas_backend_ok()
+
+        if use_pallas:
             from ..ops.pallas.attention import mha as pallas_mha
 
             def attention_fn(q, k, v, bias=None, mask=None, **kwargs):
-                return pallas_mha(q, k, v)
+                # Padding is static, so the kernel's static valid_len mask
+                # replaces flax's materialized [S, S] boolean mask. Extra
+                # leading batch dims fold into the kernel's batch axis.
+                lead = q.shape[:-3]
+                if len(lead) != 1:
+                    fold = lambda t: t.reshape((-1,) + t.shape[len(lead):])
+                    out = pallas_mha(fold(q), fold(k), fold(v),
+                                     valid_len=seq_len)
+                    return out.reshape(lead + out.shape[1:])
+                return pallas_mha(q, k, v, valid_len=seq_len)
         else:
             attention_fn = nn.attention.dot_product_attention
 
         if pad > 0:
             x_p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)])
-            mask = jnp.ones((padded_len,), jnp.bool_).at[seq_len:].set(False)
-            attn_mask = mask[None, None, :] & mask[None, :, None]
+            if use_pallas:
+                attn_mask = None  # kernel masks padded keys via valid_len
+            else:
+                mask = jnp.ones(
+                    (padded_len,), jnp.bool_).at[seq_len:].set(False)
+                attn_mask = mask[None, None, :] & mask[None, :, None]
             out = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
                 qkv_features=self.qkv_features,
                 out_features=self.out_features,
                 dtype=self.dtype,
-                attention_fn=nn.attention.dot_product_attention,
+                attention_fn=attention_fn,
             )(x_p, mask=attn_mask)
             return out[..., :seq_len, :]
 
@@ -84,6 +114,13 @@ class EntitySelfAttentionNet(nn.Module):
     # Per the paper each entity embedding concats the self features; redundant
     # if observations are already egocentric.
     embed_concat_self: bool = False
+    # Route rollout-path attention through the fused Pallas kernel
+    # (training fwd+bwd always uses the XLA path — see SelfAttention). On by
+    # default: measured +7.8% forward at the flagship 16-entity shape and
+    # +15% at 128 entities on v5e (benchmarks/attention_bench.py). Disable
+    # for very large entity sets (>=256 the full-score-matrix kernel loses
+    # to XLA by ~10%).
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x_tree, train):
@@ -118,7 +155,8 @@ class EntitySelfAttentionNet(nn.Module):
             qkv_features=self.num_embed_channels,
             out_features=self.num_out_channels,
             dtype=self.dtype,
-        )(entities)
+            use_pallas=self.use_pallas,
+        )(entities, train=train)
 
         if self.num_embed_channels != self.num_out_channels:
             attended = attended + jnp.tile(

@@ -23,14 +23,23 @@ def _time_major(x, T):
     return x.reshape(T, -1, 1)
 
 
+def _as_float(x):
+    """Return/advantage math runs in float even for integer reward/value
+    dtypes (e.g. the integer-exact fake sim); float inputs pass through
+    untouched so the bitwise reference parity holds."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return x
+    return x.astype(jnp.float32)
+
+
 def compute_returns(gamma, rewards, dones, bootstrap_values):
     """Discounted returns with done-masking; bootstrap from the final value."""
     C, TC, P, B = dones.shape[:4]
     T = C * TC
 
     seq_dones = _time_major(dones, T)
-    seq_rewards = _time_major(rewards, T)
-    bootstrap = bootstrap_values.reshape(-1, 1)
+    seq_rewards = _as_float(_time_major(rewards, T))
+    bootstrap = _as_float(bootstrap_values.reshape(-1, 1))
 
     def step(next_return, inputs):
         cur_dones, cur_rewards = inputs
@@ -50,9 +59,9 @@ def compute_advantages(gamma, gae_lambda, rewards, values, dones,
     T = C * TC
 
     seq_dones = _time_major(dones, T)
-    seq_rewards = _time_major(rewards, T)
-    seq_values = _time_major(values, T)
-    bootstrap = bootstrap_values.reshape(-1, 1)
+    seq_rewards = _as_float(_time_major(rewards, T))
+    seq_values = _as_float(_time_major(values, T))
+    bootstrap = _as_float(bootstrap_values.reshape(-1, 1))
 
     def step(carry, inputs):
         next_advantage, next_values = carry

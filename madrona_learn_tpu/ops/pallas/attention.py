@@ -7,11 +7,15 @@ workload: attention over O(10-100) *entities*, not long sequences. The whole
 online-softmax flash loop the kernel fuses QK^T -> softmax -> PV in a single
 pass per (batch-block, head) program — one HBM round trip, full MXU tiles.
 
-Backward uses JAX autodiff through the same fused computation via
-``jax.custom_vjp``-free default differentiation of the reference twin; for
-training, the entity counts are small enough that recompute-in-bwd is
-bandwidth-optimal (the reference keeps a hand-written bwd kernel because its
-seqs are long).
+Padding support: entity axes are padded to sublane multiples by the model
+layer; ``valid_len`` masks the padded keys with a -inf score bias (the
+reference's Triton kernel instead relies on its caller's pad-to-16 and has
+no mask operand, reference: models.py:74-89). ``valid_len`` is static — the
+pad amount is a shape property, so no dynamic masking machinery is needed.
+
+Backward uses JAX autodiff through the same fused computation; for these
+entity counts recompute-in-bwd is bandwidth-optimal (the reference keeps a
+hand-written bwd kernel because its seqs are long).
 
 ``mha_reference`` is the jnp twin used for tests and fallback.
 """
@@ -26,8 +30,10 @@ from jax.experimental import pallas as pl
 
 BLOCK_B = 8
 
+_NEG_INF = -1e30
 
-def _mha_kernel(scale, q_ref, k_ref, v_ref, o_ref):
+
+def _mha_kernel(scale, valid_len, seq_len, q_ref, k_ref, v_ref, o_ref):
     # refs: [BLOCK_B, S, D] for one head.
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
@@ -39,6 +45,10 @@ def _mha_kernel(scale, q_ref, k_ref, v_ref, o_ref):
         preferred_element_type=jnp.float32,
     ) * scale  # [BLOCK_B, S, S]
 
+    if valid_len < seq_len:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(key_idx < valid_len, scores, _NEG_INF)
+
     weights = jax.nn.softmax(scores, axis=-1)
 
     out = jax.lax.dot_general(
@@ -49,11 +59,50 @@ def _mha_kernel(scale, q_ref, k_ref, v_ref, o_ref):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def mha(q, k, v, interpret=False):
-    """q, k, v: [B, S, H, D] -> [B, S, H, D] fused attention output."""
+@functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))
+def mha(q, k, v, valid_len=None, interpret=False):
+    """q, k, v: [B, S, H, D] -> [B, S, H, D] fused attention output.
+
+    ``valid_len`` (static): only the first ``valid_len`` key/value entities
+    participate; the rest are masked out of the softmax. Output rows past
+    ``valid_len`` are garbage — callers slice them off (they correspond to
+    padding queries).
+
+    Differentiable: forward runs the fused kernel; backward recomputes
+    through the jnp twin (``pallas_call`` has no reverse-mode rule). At
+    entity scale the recompute is cheaper than materializing softmax
+    residuals — the reference hand-writes a bwd kernel only because its
+    sequences are long (reference: pallas/attention.py:322-537).
+    """
+    return _mha(q, k, v, valid_len, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mha(q, k, v, valid_len, interpret):
+    return _mha_impl(q, k, v, valid_len, interpret)
+
+
+def _mha_fwd_rule(q, k, v, valid_len, interpret):
+    return _mha_impl(q, k, v, valid_len, interpret), (q, k, v)
+
+
+def _mha_bwd_rule(valid_len, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, valid_len=valid_len),
+        q, k, v)
+    return vjp(g)
+
+
+_mha.defvjp(_mha_fwd_rule, _mha_bwd_rule)
+
+
+def _mha_impl(q, k, v, valid_len, interpret):
     B, S, H, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    if valid_len is None:
+        valid_len = S
+    assert 0 < valid_len <= S
 
     # [B, S, H, D] -> [B*H pseudo-batch, S, D] keeps a clean 3-D kernel.
     def to_bh(x):
@@ -71,7 +120,7 @@ def mha(q, k, v, interpret=False):
     grid = (n // BLOCK_B,)
     spec = pl.BlockSpec((BLOCK_B, S, D), lambda i: (i, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, scale),
+        functools.partial(_mha_kernel, scale, valid_len, S),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -83,11 +132,16 @@ def mha(q, k, v, interpret=False):
     return out
 
 
-def mha_reference(q, k, v):
-    """jnp twin: [B, S, H, D] attention with f32 softmax."""
+def mha_reference(q, k, v, valid_len=None):
+    """jnp twin: [B, S, H, D] attention with f32 softmax + key masking."""
+    S = q.shape[1]
     scale = 1.0 / (q.shape[-1] ** 0.5)
     scores = jnp.einsum(
         "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32))
-    weights = jax.nn.softmax(scores * scale, axis=-1)
+    scores = scores * scale
+    if valid_len is not None and valid_len < S:
+        key_mask = jnp.arange(S) < valid_len
+        scores = jnp.where(key_mask[None, None, None, :], scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhst,bthd->bshd", weights, v.astype(jnp.float32))
     return out.astype(q.dtype)

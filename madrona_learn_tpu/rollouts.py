@@ -128,6 +128,20 @@ class RolloutConfig:
             policy_chunk_size = 1 << ((min_chunk - 1).bit_length())
             policy_chunk_size = max(
                 policy_chunk_size, min(64, sim_batch_size))
+
+            # Padding-budget cap: every policy owns one reserved partial
+            # chunk, so inference always processes (P-1)*C padding rows on
+            # top of the batch. Cap C so that padding stays <= half the
+            # batch — measured on v5e at 32 policies x 16384 agents the
+            # throughput peak is exactly at this cap (C=256: 5.9M
+            # agent-steps/s vs 5.6M at C=512 and 3.0M at C=64; see
+            # benchmarks/infer_bench.py --chunk sweep). The 64 floor keeps
+            # per-chunk matmuls MXU-viable.
+            pad_budget = sim_batch_size // (
+                2 * max(pbt.total_num_policies - 1, 1))
+            if pad_budget >= 1:
+                cap = max(64, 1 << (pad_budget.bit_length() - 1))
+                policy_chunk_size = min(policy_chunk_size, cap)
         else:
             assert num_past_policies == 0
             policy_chunk_size = sim_batch_size // num_current_policies

@@ -61,9 +61,14 @@ class TrainingManager(flax.struct.PyTreeNode):
     update_fn: Callable = flax.struct.field(pytree_node=False)
     profile_port: Optional[int] = flax.struct.field(pytree_node=False)
 
-    def save_ckpt(self, path):
+    def save_ckpt(self, path, block=True):
+        """Write ``path/<update_idx>``. ``block=False`` overlaps
+        serialization with continued training (see
+        ``TrainStateManager.save``); call ``wait_for_checkpoints()`` before
+        relying on the files."""
         update_idx = int(self.update_idx)
-        self.state.save(update_idx, os.path.join(path, str(update_idx)))
+        self.state.save(update_idx, os.path.join(path, str(update_idx)),
+                        block=block)
 
     def load_ckpt(self, path):
         state, next_update = self.state.load(path)

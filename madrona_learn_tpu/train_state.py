@@ -96,6 +96,25 @@ class PolicyTrainState(flax.struct.PyTreeNode):
         return rnd, self.update(update_prng_key=next_key)
 
 
+_ASYNC_CHECKPOINTER = None
+
+
+def _async_checkpointer():
+    """Process-wide AsyncCheckpointer (owns a background thread + barrier
+    state, so it must be shared across saves)."""
+    global _ASYNC_CHECKPOINTER
+    if _ASYNC_CHECKPOINTER is None:
+        _ASYNC_CHECKPOINTER = orbax.checkpoint.AsyncCheckpointer(
+            orbax.checkpoint.PyTreeCheckpointHandler())
+    return _ASYNC_CHECKPOINTER
+
+
+def wait_for_checkpoints():
+    """Block until every async checkpoint save has committed to disk."""
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
+
+
 class TrainStateManager(flax.struct.PyTreeNode):
     """Stacked per-policy states + population-level PRNG and user state."""
 
@@ -126,7 +145,7 @@ class TrainStateManager(flax.struct.PyTreeNode):
             "user_state": jax.tree.map(prepare, self.user_state),
         }
 
-    def save(self, next_update, path):
+    def save(self, next_update, path, block=True):
         """Collective checkpoint save.
 
         Multi-host safe (unlike the reference's host-gather flow, reference:
@@ -134,10 +153,24 @@ class TrainStateManager(flax.struct.PyTreeNode):
         ``jax.Array``s, so every process writes only its addressable shards
         and no cross-host gather or full-tree host copy happens. Call from
         ALL processes.
+
+        ``block=False`` uses orbax's AsyncCheckpointer: device buffers are
+        snapshotted synchronously but serialization/IO overlaps continued
+        training; call :func:`wait_for_checkpoints` (or issue another save)
+        before relying on the files.
         """
         path = os.path.abspath(path)  # orbax requires absolute paths
-        checkpointer = orbax.checkpoint.PyTreeCheckpointer()
-        checkpointer.save(path, self._ckpt_tree(next_update))
+        if block:
+            checkpointer = orbax.checkpoint.PyTreeCheckpointer()
+            checkpointer.save(path, self._ckpt_tree(next_update))
+        else:
+            # Snapshot on-device first: the caller typically donates the
+            # live state into the next update while serialization is still
+            # reading, and orbax holds references rather than copying.
+            snapshot = jax.tree.map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                self._ckpt_tree(next_update))
+            _async_checkpointer().save(path, snapshot)
 
     def load(self, path):
         """Collective restore; each leaf comes back with the sharding the

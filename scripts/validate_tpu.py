@@ -53,6 +53,22 @@ def main():
     err = float(jnp.max(jnp.abs(mha(q, q, q) - mha_reference(q, q, q))))
     results.append(check("pallas entity MHA", err < 1e-4, f"max err {err:.2e}"))
 
+    got = mha(q, q, q, valid_len=11)[:, :11]
+    want = mha_reference(q, q, q, valid_len=11)[:, :11]
+    err = float(jnp.max(jnp.abs(got - want)))
+    results.append(check(
+        "pallas entity MHA (masked)", err < 1e-4, f"max err {err:.2e}"))
+
+    # -- flagship entity-attention forward (rollout path -> pallas kernel) --
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out, _ = jax.jit(fn)(*args)
+    critic = jax.device_get(out["critic"].mean())
+    results.append(check(
+        "flagship entity-net rollout fwd",
+        bool(np.isfinite(np.asarray(critic, np.float32)).all())))
+
     # -- short training run at scale ----------------------------------------
     import bench
 

@@ -87,3 +87,27 @@ def test_eval_load_and_eval_policies(tmp_path):
     assert seen_steps  # callback traced
     # Non-competitive eval returns episode-score estimates.
     assert result is not None
+
+
+def test_async_ckpt_roundtrip(tmp_path):
+    """Non-blocking save: training continues while orbax serializes; after
+    wait_for_checkpoints the restore is bit-identical to the live state."""
+    mgr, _ = run_training(num_updates=1, num_worlds=16, seed=27)
+
+    want = jax.device_get(mgr.state.policy_states.params)
+
+    ckpt_dir = str(tmp_path / "async_ckpts")
+    mgr.save_ckpt(ckpt_dir, block=False)
+
+    # Keep training (with donation!) while the save commits in the
+    # background — the save must have snapshotted the buffers.
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+    mgr2 = update(mgr)
+
+    mlt.wait_for_checkpoints()
+    restored = mgr2.load_ckpt(os.path.join(ckpt_dir, "1"))
+    assert int(restored.update_idx) == 1
+
+    got = jax.device_get(restored.state.policy_states.params)
+    for x, y in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

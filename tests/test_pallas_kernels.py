@@ -102,10 +102,80 @@ def test_mha_matches_reference(shape):
     k = jnp.asarray(rng.normal(size=shape), jnp.float32)
     v = jnp.asarray(rng.normal(size=shape), jnp.float32)
 
-    got = mha(q, k, v, True)
+    got = mha(q, k, v, interpret=True)
     want = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,valid", [((4, 16, 2, 32), 11),
+                                         ((3, 8, 4, 64), 5)])
+def test_mha_masked_matches_reference(shape, valid):
+    """Static valid_len masking: padded keys must not influence the valid
+    rows, and the kernel must agree with a fully-masked jnp attention."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    got = mha(q, k, v, valid_len=valid, interpret=True)
+    want = mha_reference(q, k, v, valid_len=valid)
+    np.testing.assert_allclose(np.asarray(got[:, :valid]),
+                               np.asarray(want[:, :valid]),
+                               rtol=1e-5, atol=1e-5)
+
+    # Poisoning the padded K/V slots must not change valid outputs.
+    k_poison = k.at[:, valid:].set(1e6)
+    v_poison = v.at[:, valid:].set(-1e6)
+    got_p = mha(q, k_poison, v_poison, valid_len=valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p[:, :valid]),
+                               np.asarray(got[:, :valid]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_entity_net_pallas_path_matches_xla():
+    """EntitySelfAttentionNet with use_pallas=True (padded 12-entity set)
+    must match the flax attention path on identical params."""
+    from flax.core import FrozenDict
+
+    from madrona_learn_tpu.models import EntitySelfAttentionNet
+
+    rng = np.random.default_rng(8)
+    obs = FrozenDict({
+        "self": jnp.asarray(rng.normal(size=(64, 16)), jnp.float32),
+        "allies": jnp.asarray(rng.normal(size=(64, 5, 12)), jnp.float32),
+        "enemies": jnp.asarray(rng.normal(size=(64, 6, 12)), jnp.float32),
+    })
+
+    kwargs = dict(num_embed_channels=32, num_out_channels=64, num_heads=2,
+                  dtype=jnp.float32)
+    net_xla = EntitySelfAttentionNet(**kwargs, use_pallas=False)
+    net_pl = EntitySelfAttentionNet(**kwargs, use_pallas=True)
+
+    import madrona_learn_tpu.models.attention as mattn
+    import madrona_learn_tpu.ops.pallas.attention as pattn
+    orig = pattn.mha
+    orig_ok = mattn._pallas_backend_ok
+    pattn.mha = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    mattn._pallas_backend_ok = lambda: True  # force the kernel path on CPU
+    try:
+        params = net_xla.init(jax.random.PRNGKey(0), obs, train=False)
+        out_xla = net_xla.apply(params, obs, train=False)
+        out_pl = net_pl.apply(params, obs, train=False)
+        # train=True must always take the XLA path (no interpret patching
+        # needed would be required otherwise).
+        mattn._pallas_backend_ok = orig_ok
+        pattn.mha = None  # would crash if the training path touched it
+        out_train = net_pl.apply(
+            params, obs, train=True, mutable=["batch_stats"])[0]
+    finally:
+        pattn.mha = orig
+        mattn._pallas_backend_ok = orig_ok
+
+    assert np.isfinite(np.asarray(out_train, np.float32)).all()
+
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("shape", [(8, 64, 32, 4, 128), (5, 128, 64, 3, 96)])
