@@ -281,6 +281,15 @@ CONFIGS = [
     (10, 3, 2, 1, 2, 2, 32, 0.0, 0.5, 0.5, 4),
 ]
 
+# Reference-scale configs (reference: tests/test_rollouts.py:779-793): the
+# batch-16384 / 16+7-policy regime where the partial-chunk padding and the
+# pow2 chunk-size heuristics actually bite (heuristic chunk, no override).
+LARGE_CONFIGS = [
+    (12, 7, 16, 7, 2, 2, 16384, 0.25, 0.5, 0.25, 0),
+    (10, 5, 16, 0, 2, 1, 16384, 0.5, 0.5, 0.0, 0),
+    (10, 6, 8, 7, 4, 4, 8192, 0.25, 0.25, 0.5, 0),
+]
+
 
 @pytest.mark.parametrize("cfg_tuple", CONFIGS)
 def test_fake_rollout_exact(cfg_tuple):
@@ -300,3 +309,9 @@ def test_fake_rollout_exact(cfg_tuple):
         sim_cfg, rollout_cfg, init_obs, init_assignments, inf, step)
     # Every post-step assignment snapshot also satisfies the invariants.
     check_assignments(rollout_cfg, step["post_assignments"][-1])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cfg_tuple", LARGE_CONFIGS)
+def test_fake_rollout_exact_large(cfg_tuple):
+    test_fake_rollout_exact(cfg_tuple)
