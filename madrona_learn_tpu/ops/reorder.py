@@ -117,6 +117,47 @@ def compute_reorder_chunks(assignments: jax.Array, P: int, C: int, B: int):
     return to_policy_idxs, to_sim_idxs
 
 
+def compute_reorder_chunks_sharded(assignments, P, C, B_local, D):
+    """Shard-local variant for a ``data``-sharded sim batch.
+
+    The global construction's one-hot cumsum and gathers span the whole
+    batch — under a sharded data axis XLA must insert collectives for them
+    every rollout step. Here the batch is split into ``D`` contiguous
+    shard blocks; each block gets its own independent chunk layout
+    (``B_local = ceil((N/D)/C) + P - 1`` chunks), so every gather index
+    stays inside its block and the SPMD partitioner keeps the reorder
+    entirely shard-local. Cost: up to ``(D-1)*(P-1)`` extra padded partial
+    chunks vs the global layout — the collective-free tradeoff.
+
+    Returns ``(to_policy_idxs [D*B_local, C], to_sim_idxs [N])`` with the
+    same semantics as :func:`compute_reorder_chunks` (chunks are
+    policy-pure; empty chunks hold the global OOB sentinel ``N``).
+    """
+    N = assignments.shape[0]
+    assert N % D == 0, (N, D)
+    n_local = N // D
+
+    to_policy_local, to_sim_local = jax.vmap(
+        lambda a: compute_reorder_chunks(a, P, C, B_local)
+    )(assignments.reshape(D, n_local))
+    # to_policy_local: [D, B_local, C] into the local [n_local] block
+    #   (empty chunks hold the local sentinel n_local);
+    # to_sim_local: [D, n_local] into the local flat [B_local * C] layout.
+
+    shard_base = (jnp.arange(D, dtype=jnp.int32) * n_local)[:, None, None]
+    to_policy = jnp.where(
+        to_policy_local == n_local,  # remap local sentinel -> global
+        N,
+        to_policy_local + shard_base,
+    ).reshape(D * B_local, C)
+
+    chunk_base = (
+        jnp.arange(D, dtype=jnp.int32) * (B_local * C))[:, None]
+    to_sim = (to_sim_local + chunk_base).reshape(N)
+
+    return to_policy.astype(jnp.int32), to_sim.astype(jnp.int32)
+
+
 class PolicyBatchReorderState(flax.struct.PyTreeNode):
     """Bidirectional gather state between sim order and policy-chunk order.
 

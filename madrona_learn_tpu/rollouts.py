@@ -39,7 +39,11 @@ from .config import (
 )
 from .ops.gae import compute_advantages, compute_returns
 from .ops.metrics import Metric, TrainingMetrics
-from .ops.reorder import PolicyBatchReorderState, compute_reorder_chunks
+from .ops.reorder import (
+    PolicyBatchReorderState,
+    compute_reorder_chunks,
+    compute_reorder_chunks_sharded,
+)
 from .pbt import (
     PBTMatchmakeConfig,
     pbt_init_matchmaking,
@@ -60,6 +64,11 @@ class RolloutConfig:
     policy_chunk_size: int
     num_policy_chunks: int
     total_policy_batch_size: int
+    # >1: shard-local reorder — the batch is split into this many contiguous
+    # blocks, each with an independent chunk layout, so per-step reorder
+    # gathers never cross a data-shard boundary (see
+    # ops/reorder.py:compute_reorder_chunks_sharded).
+    data_shards: int
     reward_gamma: float
     policy_dtype: jnp.dtype
     reward_dtype: jnp.dtype
@@ -84,6 +93,7 @@ class RolloutConfig:
         reward_dtype: jnp.dtype = jnp.float32,
         prob_dtype: jnp.dtype = jnp.float32,
         policy_chunk_size_override: int = 0,
+        data_shards: int = 1,
     ) -> "RolloutConfig":
         pbt = PBTMatchmakeConfig.setup(
             num_current_policies=num_current_policies,
@@ -149,10 +159,25 @@ class RolloutConfig:
         if policy_chunk_size_override != 0:
             policy_chunk_size = policy_chunk_size_override
 
-        # Enough chunks to cover the batch plus worst-case per-policy padding.
-        num_policy_chunks = -(sim_batch_size // -policy_chunk_size)
-        if pbt.complex_matchmaking:
-            num_policy_chunks += pbt.total_num_policies - 1
+        if not pbt.complex_matchmaking:
+            data_shards = 1
+        if data_shards > 1:
+            assert sim_batch_size % data_shards == 0, (
+                f"sim_batch_size ({sim_batch_size}) must divide by "
+                f"data_shards ({data_shards}) for shard-local reorder")
+            shard_batch = sim_batch_size // data_shards
+            policy_chunk_size = min(policy_chunk_size,
+                                    max(8, shard_batch // 2))
+            # Per-shard worst case, replicated across shards.
+            num_policy_chunks = data_shards * (
+                -(shard_batch // -policy_chunk_size)
+                + pbt.total_num_policies - 1)
+        else:
+            # Enough chunks to cover the batch plus worst-case per-policy
+            # padding.
+            num_policy_chunks = -(sim_batch_size // -policy_chunk_size)
+            if pbt.complex_matchmaking:
+                num_policy_chunks += pbt.total_num_policies - 1
 
         return RolloutConfig(
             sim_batch_size=sim_batch_size,
@@ -161,6 +186,7 @@ class RolloutConfig:
             policy_chunk_size=policy_chunk_size,
             num_policy_chunks=num_policy_chunks,
             total_policy_batch_size=num_policy_chunks * policy_chunk_size,
+            data_shards=data_shards,
             reward_gamma=reward_gamma,
             policy_dtype=policy_dtype,
             reward_dtype=reward_dtype,
@@ -171,12 +197,21 @@ class RolloutConfig:
 
 def _compute_reorder_state(assignments, rollout_cfg: RolloutConfig):
     if rollout_cfg.pbt.complex_matchmaking:
-        to_policy_idxs, to_sim_idxs = compute_reorder_chunks(
-            assignments,
-            rollout_cfg.pbt.total_num_policies,
-            rollout_cfg.policy_chunk_size,
-            rollout_cfg.num_policy_chunks,
-        )
+        if rollout_cfg.data_shards > 1:
+            to_policy_idxs, to_sim_idxs = compute_reorder_chunks_sharded(
+                assignments,
+                rollout_cfg.pbt.total_num_policies,
+                rollout_cfg.policy_chunk_size,
+                rollout_cfg.num_policy_chunks // rollout_cfg.data_shards,
+                rollout_cfg.data_shards,
+            )
+        else:
+            to_policy_idxs, to_sim_idxs = compute_reorder_chunks(
+                assignments,
+                rollout_cfg.pbt.total_num_policies,
+                rollout_cfg.policy_chunk_size,
+                rollout_cfg.num_policy_chunks,
+            )
     else:
         to_policy_idxs = None
         to_sim_idxs = None

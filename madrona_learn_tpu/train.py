@@ -263,6 +263,9 @@ def _setup_rollout_cfg(cfg: TrainConfig) -> RolloutConfig:
             policy_dtype=cfg.compute_dtype,
             policy_chunk_size_override=(
                 cfg.pbt.rollout_policy_chunk_size_override),
+            # Shard-local reorder when the sim batch is sharded: per-step
+            # chunk construction and gathers stay inside each data shard.
+            data_shards=(cfg.mesh.data if cfg.mesh is not None else 1),
         )
 
     return RolloutConfig.setup(

@@ -144,3 +144,77 @@ def test_reorder_roundtrip_fuzz(data, P, C):
     B = -(N // -C) + P - 1
     to_policy, chunked = roundtrip(assignments, P, C, B)
     chunks_are_policy_pure(to_policy, chunked, assignments, N)
+
+
+# -- shard-local variant ------------------------------------------------------
+
+from madrona_learn_tpu.ops.reorder import compute_reorder_chunks_sharded
+
+
+def roundtrip_sharded(assignments, P, C, D):
+    assignments = jnp.asarray(assignments, jnp.int32)
+    N = assignments.shape[0]
+    B_local = -((N // D) // -C) + P - 1
+    to_policy, to_sim = jax.jit(
+        compute_reorder_chunks_sharded,
+        static_argnums=(1, 2, 3, 4))(assignments, P, C, B_local, D)
+    assert to_policy.shape == (D * B_local, C)
+
+    state = PolicyBatchReorderState(
+        to_policy_idxs=to_policy,
+        to_sim_idxs=to_sim,
+        policy_dims=(P, C),
+        sim_dims=(N,),
+    )
+    chunked = state.to_policy(assignments)
+    recon = state.to_sim(chunked)
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(assignments))
+    return np.asarray(to_policy), np.asarray(chunked)
+
+
+@pytest.mark.parametrize("D", [1, 2, 4])
+def test_sharded_roundtrip_and_purity(D):
+    rng = np.random.default_rng(5)
+    P, C, N = 5, 4, 64
+    assignments = rng.integers(0, P, size=N)
+    to_policy, chunked = roundtrip_sharded(assignments, P, C, D)
+    chunks_are_policy_pure(to_policy, chunked, assignments, N)
+
+
+def test_sharded_indices_stay_in_shard():
+    """Every valid gather index of shard i's chunks must lie inside shard
+    i's block — the property that keeps the reorder collective-free."""
+    rng = np.random.default_rng(6)
+    P, C, D, N = 4, 4, 4, 96
+    n_local = N // D
+    assignments = rng.integers(0, P, size=N)
+    B_local = -(n_local // -C) + P - 1
+    to_policy, to_sim = compute_reorder_chunks_sharded(
+        jnp.asarray(assignments, jnp.int32), P, C, B_local, D)
+    to_policy = np.asarray(to_policy).reshape(D, B_local, C)
+    for d in range(D):
+        valid = to_policy[d][to_policy[d] < N]
+        assert ((valid >= d * n_local) & (valid < (d + 1) * n_local)).all()
+    # to_sim: shard d's agents map into shard d's chunk rows.
+    to_sim = np.asarray(to_sim).reshape(D, n_local)
+    for d in range(D):
+        lo, hi = d * B_local * C, (d + 1) * B_local * C
+        assert ((to_sim[d] >= lo) & (to_sim[d] < hi)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    P=st.integers(min_value=1, max_value=8),
+    C=st.sampled_from([2, 4, 8]),
+    D=st.sampled_from([2, 4]),
+)
+def test_sharded_roundtrip_fuzz(data, P, C, D):
+    n_local = data.draw(st.integers(min_value=1, max_value=24))
+    N = n_local * D
+    assignments = np.asarray(
+        data.draw(st.lists(
+            st.integers(min_value=0, max_value=P - 1),
+            min_size=N, max_size=N)))
+    to_policy, chunked = roundtrip_sharded(assignments, P, C, D)
+    chunks_are_policy_pure(to_policy, chunked, assignments, N)

@@ -109,6 +109,7 @@ def run_fake_rollout(
     cross_play,
     past_play,
     policy_chunk_size_override=0,
+    data_shards=1,
 ):
     rollout_cfg = RolloutConfig.setup(
         num_current_policies=num_current_policies,
@@ -124,6 +125,7 @@ def run_fake_rollout(
         policy_dtype=jnp.int32,
         reward_dtype=jnp.int32,
         policy_chunk_size_override=policy_chunk_size_override,
+        data_shards=data_shards,
     )
 
     sim_cfg = FakeSimConfig(
@@ -315,3 +317,21 @@ def test_fake_rollout_exact(cfg_tuple):
 @pytest.mark.parametrize("cfg_tuple", LARGE_CONFIGS)
 def test_fake_rollout_exact_large(cfg_tuple):
     test_fake_rollout_exact(cfg_tuple)
+
+
+@pytest.mark.parametrize("data_shards", [2, 4])
+def test_fake_rollout_exact_shard_local_reorder(data_shards):
+    """The integer oracle must hold bit-exactly with shard-local chunk
+    construction (mesh data axis > 1)."""
+    sim_cfg, rollout_cfg, init_obs, init_assignments, inf, step = (
+        run_fake_rollout(
+            seed=13, num_steps=16, episode_len=4,
+            num_current_policies=4, num_past_policies=2,
+            num_teams=2, team_size=1, batch_size=64,
+            self_play=0.5, cross_play=0.25, past_play=0.25,
+            policy_chunk_size_override=8, data_shards=data_shards))
+
+    assert rollout_cfg.data_shards == data_shards
+    check_assignments(rollout_cfg, init_assignments)
+    verify_rollout_data(
+        sim_cfg, rollout_cfg, init_obs, init_assignments, inf, step)

@@ -131,3 +131,63 @@ def test_large_population_sharded_update(eight_devices):
     loss = np.asarray(mgr.metrics.metrics["Loss"].mean)
     assert np.isfinite(loss).all()
     assert mgr.state.policy_states.mmr.elo.shape == (num_train + num_past,)
+
+
+def test_shard_local_reorder_reduces_collectives(eight_devices):
+    """The shard-local reorder must compile to (near-)collective-free SPMD
+    code under a data-sharded batch, while the global construction needs
+    cross-shard communication every step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from madrona_learn_tpu.ops.reorder import (
+        PolicyBatchReorderState,
+        compute_reorder_chunks,
+        compute_reorder_chunks_sharded,
+    )
+
+    mesh = Mesh(np.asarray(eight_devices), ("data",))
+    sharded = NamedSharding(mesh, P("data"))
+
+    NP, C, D, N = 4, 8, 8, 1024
+    B_global = -(N // -C) + NP - 1
+    B_local = -((N // D) // -C) + NP - 1
+
+    payload_spec = jax.ShapeDtypeStruct((N, 64), jnp.float32)
+    assign_spec = jax.ShapeDtypeStruct((N,), jnp.int32)
+
+    def run_global(assignments, payload):
+        tp, ts = compute_reorder_chunks(assignments, NP, C, B_global)
+        state = PolicyBatchReorderState(
+            to_policy_idxs=tp, to_sim_idxs=ts,
+            policy_dims=(NP, C), sim_dims=(N,))
+        return state.to_sim(state.to_policy(payload) * 2.0)
+
+    def run_sharded(assignments, payload):
+        tp, ts = compute_reorder_chunks_sharded(
+            assignments, NP, C, B_local, D)
+        state = PolicyBatchReorderState(
+            to_policy_idxs=tp, to_sim_idxs=ts,
+            policy_dims=(NP, C), sim_dims=(N,))
+        return state.to_sim(state.to_policy(payload) * 2.0)
+
+    def count_collectives(fn):
+        compiled = jax.jit(
+            fn,
+            in_shardings=(sharded, sharded),
+            out_shardings=sharded,
+        ).lower(assign_spec, payload_spec).compile()
+        hlo = compiled.as_text()
+        return sum(hlo.count(op) for op in
+                   ("all-gather", "all-to-all", "collective-permute",
+                    "all-reduce"))
+
+    n_global = count_collectives(run_global)
+    n_sharded = count_collectives(run_sharded)
+    # The global path must communicate. The shard-local layout halves the
+    # collective count (measured: 18 -> 9 on this shape): the chunk
+    # construction (cumsum/scatter) partitions locally, but GSPMD cannot
+    # prove locality of the remaining data-dependent gathers without a
+    # shard_map restructure (TODO.md). Exact counts are partitioner-version
+    # dependent, so assert the reduction, not the absolute numbers.
+    assert n_global > 0, "expected collectives in the global reorder"
+    assert n_sharded <= n_global // 2, (n_sharded, n_global)
