@@ -129,9 +129,10 @@ def compute_reorder_chunks_sharded(assignments, P, C, B_local, D):
     entirely shard-local. Cost: up to ``(D-1)*(P-1)`` extra padded partial
     chunks vs the global layout — the collective-free tradeoff.
 
-    Returns ``(to_policy_idxs [D*B_local, C], to_sim_idxs [N])`` with the
-    same semantics as :func:`compute_reorder_chunks` (chunks are
-    policy-pure; empty chunks hold the global OOB sentinel ``N``).
+    Returns ``(to_policy_idxs [D, B_local, C], to_sim_idxs [D, n_local])``
+    in SHARD-LOCAL index space (empty chunks hold the local sentinel
+    ``n_local``); apply through ``PolicyBatchReorderState`` with
+    ``data_shards=D``.
     """
     N = assignments.shape[0]
     assert N % D == 0, (N, D)
@@ -143,19 +144,12 @@ def compute_reorder_chunks_sharded(assignments, P, C, B_local, D):
     # to_policy_local: [D, B_local, C] into the local [n_local] block
     #   (empty chunks hold the local sentinel n_local);
     # to_sim_local: [D, n_local] into the local flat [B_local * C] layout.
-
-    shard_base = (jnp.arange(D, dtype=jnp.int32) * n_local)[:, None, None]
-    to_policy = jnp.where(
-        to_policy_local == n_local,  # remap local sentinel -> global
-        N,
-        to_policy_local + shard_base,
-    ).reshape(D * B_local, C)
-
-    chunk_base = (
-        jnp.arange(D, dtype=jnp.int32) * (B_local * C))[:, None]
-    to_sim = (to_sim_local + chunk_base).reshape(N)
-
-    return to_policy.astype(jnp.int32), to_sim.astype(jnp.int32)
+    # Indices stay LOCAL: PolicyBatchReorderState applies them as batched
+    # (vmapped) gathers over the explicit shard axis, which GSPMD
+    # partitions with zero communication — offsetting to global indices
+    # would force the partitioner to assume cross-shard access.
+    return (to_policy_local.astype(jnp.int32),
+            to_sim_local.astype(jnp.int32))
 
 
 class PolicyBatchReorderState(flax.struct.PyTreeNode):
@@ -170,24 +164,53 @@ class PolicyBatchReorderState(flax.struct.PyTreeNode):
     to_sim_idxs: Optional[jax.Array]
     policy_dims: Tuple[int, ...] = flax.struct.field(pytree_node=False)
     sim_dims: Tuple[int, ...] = flax.struct.field(pytree_node=False)
+    # >1: the index arrays are [D, ...] shard-local (see
+    # compute_reorder_chunks_sharded) and transforms run as batched gathers
+    # over the explicit shard axis — communication-free under a data-sharded
+    # batch.
+    data_shards: int = flax.struct.field(pytree_node=False, default=1)
 
     def to_policy(self, data):
+        D = self.data_shards
+
         def txfm(x):
             if self.to_policy_idxs is None:
                 return x.reshape(*self.policy_dims, *x.shape[1:])
-            # Clip-mode gather resolves the OOB sentinel in empty chunks.
-            return x.at[self.to_policy_idxs].get(mode="clip")
+            if D == 1:
+                # Clip-mode gather resolves the OOB sentinel in empty
+                # chunks.
+                return x.at[self.to_policy_idxs].get(mode="clip")
+            B_local, C = self.to_policy_idxs.shape[1:3]
+            x_blocks = x.reshape(D, -1, *x.shape[1:])
+            out = jax.vmap(
+                lambda xb, ib: xb.at[ib].get(mode="clip")
+            )(x_blocks, self.to_policy_idxs)  # [D, B_local, C, ...]
+            return out.reshape(D * B_local, C, *x.shape[1:])
 
         return jax.tree.map(txfm, data)
 
     def to_sim(self, data):
+        D = self.data_shards
         if self.to_policy_idxs is not None:
-            num_flat = self.to_policy_idxs.shape[0] * self.to_policy_idxs.shape[1]
+            if D == 1:
+                num_flat = (self.to_policy_idxs.shape[0]
+                            * self.to_policy_idxs.shape[1])
+            else:
+                B_local, C = self.to_policy_idxs.shape[1:3]
+                num_flat_local = B_local * C
 
         def txfm(x):
             if self.to_sim_idxs is None:
                 return x.reshape(*self.sim_dims, *x.shape[2:])
-            flat_chunks = x.reshape(num_flat, *x.shape[2:])
-            return flat_chunks.at[self.to_sim_idxs].get(unique_indices=True)
+            if D == 1:
+                flat_chunks = x.reshape(num_flat, *x.shape[2:])
+                return flat_chunks.at[self.to_sim_idxs].get(
+                    unique_indices=True)
+            # x: [D*B_local, C, ...] -> per-shard flat chunk blocks.
+            x_blocks = x.reshape(D, num_flat_local, *x.shape[2:])
+            out = jax.vmap(
+                lambda xb, ib: xb.at[ib].get(unique_indices=True)
+            )(x_blocks, self.to_sim_idxs)  # [D, n_local, ...]
+            return out.reshape(*self.sim_dims, *x.shape[2:])
 
         return jax.tree.map(txfm, data)

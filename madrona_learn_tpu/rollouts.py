@@ -224,6 +224,8 @@ def _compute_reorder_state(assignments, rollout_cfg: RolloutConfig):
             rollout_cfg.policy_chunk_size,
         ),
         sim_dims=(rollout_cfg.sim_batch_size,),
+        data_shards=(rollout_cfg.data_shards
+                     if rollout_cfg.pbt.complex_matchmaking else 1),
     )
 
 

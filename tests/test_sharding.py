@@ -167,7 +167,7 @@ def test_shard_local_reorder_reduces_collectives(eight_devices):
             assignments, NP, C, B_local, D)
         state = PolicyBatchReorderState(
             to_policy_idxs=tp, to_sim_idxs=ts,
-            policy_dims=(NP, C), sim_dims=(N,))
+            policy_dims=(NP, C), sim_dims=(N,), data_shards=D)
         return state.to_sim(state.to_policy(payload) * 2.0)
 
     def count_collectives(fn):
@@ -183,11 +183,10 @@ def test_shard_local_reorder_reduces_collectives(eight_devices):
 
     n_global = count_collectives(run_global)
     n_sharded = count_collectives(run_sharded)
-    # The global path must communicate. The shard-local layout halves the
-    # collective count (measured: 18 -> 9 on this shape): the chunk
-    # construction (cumsum/scatter) partitions locally, but GSPMD cannot
-    # prove locality of the remaining data-dependent gathers without a
-    # shard_map restructure (TODO.md). Exact counts are partitioner-version
-    # dependent, so assert the reduction, not the absolute numbers.
+    # The global path must communicate; the shard-local layout compiles to
+    # ZERO collectives — the indices stay in local per-shard space and the
+    # transforms are batched gathers over the explicit shard axis, whose
+    # batch dimension GSPMD partitions without communication.
     assert n_global > 0, "expected collectives in the global reorder"
-    assert n_sharded <= n_global // 2, (n_sharded, n_global)
+    assert n_sharded == 0, (
+        f"shard-local reorder emits {n_sharded} collectives")
