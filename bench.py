@@ -28,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 NUM_WORLDS = 32768  # throughput sweet spot from the v5e batch-size sweep
+LSTM_UNROLL = 1
 STEPS_PER_UPDATE = 32
 NUM_BPTT_CHUNKS = 2
 CHANNELS = 256
@@ -62,7 +63,7 @@ def build_manager(dtype):
             encoder=RecurrentBackboneEncoder(
                 net=MLP(num_channels=CHANNELS, num_layers=2, dtype=dtype),
                 rnn=LSTM(num_hidden_channels=CHANNELS, num_layers=1,
-                         dtype=dtype),
+                         dtype=dtype, seq_unroll=LSTM_UNROLL),
             ),
         ),
         actor=DictActor(heads={

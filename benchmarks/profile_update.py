@@ -44,6 +44,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--no-trace", action="store_true")
     parser.add_argument("--updates", type=int, default=5)
+    parser.add_argument("--lstm-unroll", type=int, default=1,
+                        help="unroll factor for the BPTT LSTM scan")
     args = parser.parse_args()
 
     import bench
@@ -54,6 +56,7 @@ def main():
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    bench.LSTM_UNROLL = args.lstm_unroll
     mgr = bench.build_manager(dtype)
 
     sync = lambda m: jax.device_get(jax.tree.leaves(m)[0])
@@ -110,6 +113,7 @@ def main():
 
     result = {
         "backend": backend,
+        "lstm_unroll": args.lstm_unroll,
         "env_steps_per_s": round(steps_per_s, 1),
         "update_ms": round(full_dt * 1e3, 2),
         "collect_ms": round(collect_dt * 1e3, 2),

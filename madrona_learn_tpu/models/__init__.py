@@ -1,4 +1,5 @@
 from .common import LayerNorm, MLP
+from .gru import GRU
 from .lstm import LSTM
 from .attention import SelfAttention, EntitySelfAttentionNet
 from .critics import (

@@ -1,17 +1,12 @@
-"""Stacked LSTM with explicit, batch-leading recurrent state.
+"""Stacked GRU with the same recurrent protocol as the LSTM.
 
-Capability parity with the reference RNN layer (reference: rnn.py:10-111):
-stacked LSTM layers whose per-layer outputs concatenate into the feature
-vector, zero-init state, done-masked clearing, and a time-axis scan for the
-BPTT update pass.
-
-TPU-first state layout: the (c, h) state is a pair of ``[N, num_layers, H]``
-arrays — the agent batch leads, so the sim<->policy reorder gathers and the
-``data``-axis mesh sharding act on axis 0 of exactly two contiguous buffers.
-The sequence scan broadcasts params (weights stay VMEM-resident across
-timesteps) and applies the done-mask *after* each step, matching the rollout
-engine's step-then-reset ordering so rollout and update passes see identical
-state trajectories.
+The reference ships only an LSTM (reference: rnn.py:10-111); a GRU is the
+standard lighter-state alternative (one [N, L, H] buffer instead of two —
+half the recurrent-state memory and sim<->policy reorder traffic, ~25% fewer
+recurrent FLOPs). Drop-in for ``LSTM`` anywhere a backbone takes an ``rnn``:
+same ``init_recurrent_state`` / ``clear_recurrent_state`` / ``__call__`` /
+``sequence`` surface, same batch-leading TPU state layout and
+step-then-reset done-mask ordering.
 """
 
 from __future__ import annotations
@@ -20,11 +15,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["LSTM"]
+__all__ = ["GRU"]
 
 
-class _StackedCell(nn.Module):
-    """One step through all layers; carry is ([N,L,H] c, [N,L,H] h)."""
+class _StackedGRUCell(nn.Module):
+    """One step through all layers; carry is a single [N, L, H] array."""
 
     hidden: int
     layers: int
@@ -32,12 +27,10 @@ class _StackedCell(nn.Module):
 
     @nn.compact
     def __call__(self, carry, x):
-        c_in, h_in = carry
-
-        cs, hs, outs = [], [], []
+        hs, outs = [], []
         layer_in = x
         for layer in range(self.layers):
-            cell = nn.OptimizedLSTMCell(
+            cell = nn.GRUCell(
                 features=self.hidden,
                 kernel_init=jax.nn.initializers.orthogonal(),
                 recurrent_kernel_init=jax.nn.initializers.orthogonal(),
@@ -45,40 +38,34 @@ class _StackedCell(nn.Module):
                 dtype=self.dtype,
                 name=f"layer_{layer}",
             )
-            (c, h), out = cell((c_in[:, layer], h_in[:, layer]), layer_in)
+            h, out = cell(carry[:, layer], layer_in)
             layer_in = h
-            cs.append(c)
             hs.append(h)
             outs.append(out)
 
-        carry = (jnp.stack(cs, axis=1), jnp.stack(hs, axis=1))
-        return carry, jnp.concatenate(outs, axis=-1)
+        return jnp.stack(hs, axis=1), jnp.concatenate(outs, axis=-1)
 
 
-class LSTM(nn.Module):
+class GRU(nn.Module):
     num_hidden_channels: int
     num_layers: int
     dtype: jnp.dtype
-    # Unroll factor for the BPTT sequence scan: the training-pass scan body
-    # is small relative to its loop overhead, so unrolling lets XLA pipeline
-    # consecutive steps (sweep with benchmarks/profile_update.py
-    # --lstm-unroll). 1 = plain scan.
+    # See LSTM.seq_unroll.
     seq_unroll: int = 1
 
     @nn.nowrap
     def init_recurrent_state(self, N):
         shape = (N, self.num_layers, self.num_hidden_channels)
-        return (jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
+        return jnp.zeros(shape, self.dtype)
 
     @nn.nowrap
     def clear_recurrent_state(self, rnn_states, should_clear):
         # should_clear: [N, 1]; broadcasts over (layer, hidden).
         mask = should_clear[..., None]
-        return tuple(
-            jnp.where(mask, jnp.zeros((), s.dtype), s) for s in rnn_states)
+        return jnp.where(mask, jnp.zeros((), rnn_states.dtype), rnn_states)
 
     def setup(self):
-        self.cell = _StackedCell(
+        self.cell = _StackedGRUCell(
             hidden=self.num_hidden_channels,
             layers=self.num_layers,
             dtype=self.dtype,
