@@ -90,9 +90,14 @@ def main():
     if backend != "tpu":
         # Compiled pallas needs a real TPU; interpret mode would make the
         # comparison meaningless, so only sanity-run the kernel path there.
+        # Both the kernel (interpret) and the backend guard must be forced,
+        # otherwise SelfAttention silently falls back to XLA and the
+        # "comparison" compares XLA against itself.
+        import madrona_learn_tpu.models.attention as mattn
         import madrona_learn_tpu.ops.pallas.attention as pattn
         orig = pattn.mha
         pattn.mha = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        mattn._pallas_backend_ok = lambda: True
         print("(non-TPU backend: pallas in interpret mode, "
               "numbers not comparable)")
 

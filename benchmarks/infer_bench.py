@@ -57,12 +57,10 @@ def main():
 
     P = args.policies
     N = args.agents
-    # Match RolloutConfig.setup's heuristic: pow2 per-policy share capped
-    # by the padding budget (padding rows <= half the batch).
-    default_c = max(64, 1 << ((N // P - 1).bit_length()))
-    pad_budget = N // (2 * max(P - 1, 1))
-    if pad_budget >= 1:
-        default_c = min(default_c, max(64, 1 << (pad_budget.bit_length() - 1)))
+    from madrona_learn_tpu.rollouts import heuristic_policy_chunk_size
+
+    # The production heuristic, so the bench measures the shipped geometry.
+    default_c = heuristic_policy_chunk_size(N, P, N // P)
     chunk_sizes = ([int(c) for c in args.chunk.split(",")] if args.chunk
                    else [default_c])
 

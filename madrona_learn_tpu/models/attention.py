@@ -6,10 +6,11 @@ entity axis, mean-pool, and a feed-forward residual block.
 
 TPU notes: ``SelfAttention`` pads the entity axis to a multiple of 8 (f32
 sublane) so the QK^T / PV contractions tile onto the MXU without relayout.
-Rollout-path forwards route through the fused Pallas kernel
-(`ops/pallas/attention.py`, masked via static valid_len) — measured faster
-than the XLA path up to ~128 entities; training fwd+bwd stays on XLA where
-it wins (numbers in benchmarks/attention_bench.py).
+Attention routes through the fused Pallas kernel
+(`ops/pallas/attention.py`, masked via static valid_len) on TPU — measured
+faster than the XLA path on forwards up to ~128 entities, slightly slower
+on fwd+bwd; both the rollout and update passes use the same path so PPO
+ratios start at exactly 1 (numbers in benchmarks/attention_bench.py).
 """
 
 from __future__ import annotations
@@ -50,11 +51,12 @@ class SelfAttention(nn.Module):
         padded_len = -(seq_len // -pad_to) * pad_to
         pad = padded_len - seq_len
 
-        # The fused kernel wins on pure forwards (v5e, bf16, 16384 batch:
-        # +7.8% at 16 entities, +15% at 128 — benchmarks/attention_bench.py)
-        # but its backward recomputes through the jnp twin and loses ~7-20%
-        # on fwd+bwd, so route it only on the inference path.
-        use_pallas = self.use_pallas and not train and _pallas_backend_ok()
+        # When enabled, the kernel serves BOTH the rollout and the update
+        # forward: PPO's importance ratio must start at exactly 1, so the
+        # log-probs the update pass recomputes have to match the rollout's
+        # bit-for-bit — mixing kernel (f32 softmax) and XLA (compute-dtype)
+        # attention across the two passes would bias every ratio at epoch 0.
+        use_pallas = self.use_pallas and _pallas_backend_ok()
 
         if use_pallas:
             from ..ops.pallas.attention import mha as pallas_mha
@@ -114,12 +116,15 @@ class EntitySelfAttentionNet(nn.Module):
     # Per the paper each entity embedding concats the self features; redundant
     # if observations are already egocentric.
     embed_concat_self: bool = False
-    # Route rollout-path attention through the fused Pallas kernel
-    # (training fwd+bwd always uses the XLA path — see SelfAttention). On by
-    # default: measured +7.8% forward at the flagship 16-entity shape and
-    # +15% at 128 entities on v5e (benchmarks/attention_bench.py). Disable
-    # for very large entity sets (>=256 the full-score-matrix kernel loses
-    # to XLA by ~10%).
+    # Route attention through the fused Pallas kernel (both rollout and
+    # update passes — see SelfAttention for why they must agree). Measured
+    # on v5e (benchmarks/attention_bench.py): rollout forward +7.8% at the
+    # flagship 16-entity shape and +15% at 128 entities; training fwd+bwd
+    # -7% (backward recomputes through the jnp twin). Default ON: the
+    # rollout pass runs steps_per_update times per collected step while the
+    # update touches each step num_epochs times, so the forward win
+    # dominates at typical epoch counts. Disable for >=256-entity sets
+    # (kernel loses ~10%) or epoch-heavy configs.
     use_pallas: bool = True
 
     @nn.compact

@@ -56,6 +56,22 @@ from .utils.profile import profile
 # Rollout configuration
 # ---------------------------------------------------------------------------
 
+def heuristic_policy_chunk_size(sim_batch_size: int,
+                                total_num_policies: int,
+                                min_chunk: int) -> int:
+    """Pow2 chunk size from the guaranteed per-policy share, floored at 64
+    for sublane alignment, capped so reserved-partial-chunk padding stays
+    <= half the batch (v5e-measured optimum; see the setup comment and
+    benchmarks/infer_bench.py --chunk sweep). Shared with the benchmarks so
+    they always measure the production geometry."""
+    c = 1 << ((min_chunk - 1).bit_length())
+    c = max(c, min(64, sim_batch_size))
+    pad_budget = sim_batch_size // (2 * max(total_num_policies - 1, 1))
+    if pad_budget >= 1:
+        c = min(c, max(64, 1 << (pad_budget.bit_length() - 1)))
+    return c
+
+
 @dataclass(frozen=True)
 class RolloutConfig:
     sim_batch_size: int
@@ -132,26 +148,16 @@ class RolloutConfig:
                     pbt.static_play_batch_size // pbt.total_num_policies)
             assert min_chunk > 0
 
-            # Round up to a power of two, floored at 64 (or the whole batch):
-            # keeps the inference batch sublane-aligned on TPU and bounds the
-            # chunk count.
-            policy_chunk_size = 1 << ((min_chunk - 1).bit_length())
-            policy_chunk_size = max(
-                policy_chunk_size, min(64, sim_batch_size))
-
-            # Padding-budget cap: every policy owns one reserved partial
-            # chunk, so inference always processes (P-1)*C padding rows on
-            # top of the batch. Cap C so that padding stays <= half the
-            # batch — measured on v5e at 32 policies x 16384 agents the
-            # throughput peak is exactly at this cap (C=256: 5.9M
-            # agent-steps/s vs 5.6M at C=512 and 3.0M at C=64; see
-            # benchmarks/infer_bench.py --chunk sweep). The 64 floor keeps
-            # per-chunk matmuls MXU-viable.
-            pad_budget = sim_batch_size // (
-                2 * max(pbt.total_num_policies - 1, 1))
-            if pad_budget >= 1:
-                cap = max(64, 1 << (pad_budget.bit_length() - 1))
-                policy_chunk_size = min(policy_chunk_size, cap)
+            # Pow2 per-policy share, 64 floor (sublane-aligned, MXU-viable
+            # per-chunk matmuls), capped so reserved-partial-chunk padding
+            # stays <= half the batch — every policy owns one reserved
+            # partial chunk, so inference always processes (P-1)*C padding
+            # rows on top of the batch; measured on v5e at 32 policies x
+            # 16384 agents the throughput peak is exactly at this cap
+            # (C=256: 5.9M agent-steps/s vs 5.6M at C=512 and 3.0M at
+            # C=64; benchmarks/infer_bench.py --chunk sweep).
+            policy_chunk_size = heuristic_policy_chunk_size(
+                sim_batch_size, pbt.total_num_policies, min_chunk)
         else:
             assert num_past_policies == 0
             policy_chunk_size = sim_batch_size // num_current_policies
@@ -166,8 +172,16 @@ class RolloutConfig:
                 f"sim_batch_size ({sim_batch_size}) must divide by "
                 f"data_shards ({data_shards}) for shard-local reorder")
             shard_batch = sim_batch_size // data_shards
-            policy_chunk_size = min(policy_chunk_size,
-                                    max(8, shard_batch // 2))
+            shard_cap = max(8, shard_batch // 2)
+            if policy_chunk_size_override != 0:
+                # An explicit override is a contract — never silently
+                # reshape it; the user must pick a chunk that fits a shard.
+                assert policy_chunk_size <= shard_cap, (
+                    f"rollout_policy_chunk_size_override "
+                    f"({policy_chunk_size}) exceeds the per-data-shard cap "
+                    f"({shard_cap} = max(8, sim_batch/data_shards/2)); "
+                    f"lower the override or the data mesh axis")
+            policy_chunk_size = min(policy_chunk_size, shard_cap)
             # Per-shard worst case, replicated across shards.
             num_policy_chunks = data_shards * (
                 -(shard_batch // -policy_chunk_size)

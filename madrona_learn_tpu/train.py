@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import warnings
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -442,7 +443,11 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
     return jnp.asarray(assignments)
 
 
-_ELO_TOURNAMENT_CACHE: Dict[Any, Callable] = {}
+# Compiled-tournament cache, bounded: each entry pins a compiled program
+# (host + device memory), and long-lived processes may build many managers
+# (sweeps, tests), so evict oldest beyond a small working set.
+_ELO_TOURNAMENT_CACHE: "OrderedDict[Any, Callable]" = OrderedDict()
+_ELO_TOURNAMENT_CACHE_MAX = 8
 
 
 def eval_elo(
@@ -463,6 +468,10 @@ def eval_elo(
     if fn is None:
         fn = jax.jit(partial(_eval_elo_impl, num_eval_steps=num_eval_steps))
         _ELO_TOURNAMENT_CACHE[key] = fn
+        while len(_ELO_TOURNAMENT_CACHE) > _ELO_TOURNAMENT_CACHE_MAX:
+            _ELO_TOURNAMENT_CACHE.popitem(last=False)
+    else:
+        _ELO_TOURNAMENT_CACHE.move_to_end(key)
     return fn(training_mgr, eval_sim_ctrl, train_sim_ctrl)
 
 

@@ -101,10 +101,16 @@ def cmd_best(args):
 
     mmr = ps.get("mmr")
     score = ps.get("episode_score")
-    if args.metric == "elo" or (args.metric == "auto" and mmr is not None
-                                and mmr.get("elo") is not None):
+    has_elo = mmr is not None and mmr.get("elo") is not None
+    has_score = score is not None and score.get("mean") is not None
+    if args.metric == "elo" and not has_elo:
+        raise SystemExit("checkpoint has no Elo fitness (--metric elo)")
+    if args.metric == "score" and not has_score:
+        raise SystemExit(
+            "checkpoint has no episode-score fitness (--metric score)")
+    if (args.metric == "elo") or (args.metric == "auto" and has_elo):
         fitness = np.asarray(mmr["elo"], np.float64)[:num_train]
-    elif score is not None and score.get("mean") is not None:
+    elif (args.metric == "score") or (args.metric == "auto" and has_score):
         fitness = np.asarray(score["mean"], np.float64)[:num_train]
     else:
         raise SystemExit("checkpoint has no Elo or episode-score fitness")

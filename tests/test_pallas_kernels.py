@@ -162,17 +162,16 @@ def test_entity_net_pallas_path_matches_xla():
         params = net_xla.init(jax.random.PRNGKey(0), obs, train=False)
         out_xla = net_xla.apply(params, obs, train=False)
         out_pl = net_pl.apply(params, obs, train=False)
-        # train=True must always take the XLA path (no interpret patching
-        # needed would be required otherwise).
-        mattn._pallas_backend_ok = orig_ok
-        pattn.mha = None  # would crash if the training path touched it
+        # The update pass (train=True) must route through the SAME kernel
+        # as the rollout pass — PPO ratios start at 1 only if the two
+        # forwards agree bit-for-bit.
         out_train = net_pl.apply(
             params, obs, train=True, mutable=["batch_stats"])[0]
     finally:
         pattn.mha = orig
         mattn._pallas_backend_ok = orig_ok
 
-    assert np.isfinite(np.asarray(out_train, np.float32)).all()
+    np.testing.assert_array_equal(np.asarray(out_train), np.asarray(out_pl))
 
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                rtol=2e-5, atol=2e-5)
