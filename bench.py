@@ -36,9 +36,8 @@ TIMED_UPDATES = 10
 PER_CHIP_TARGET = 1_000_000 / 16  # BASELINE.json: 1M env-steps/s on v5e-16
 
 
-def build_manager(dtype):
+def build_actor_critic(dtype):
     import madrona_learn_tpu as mlt
-    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
     from madrona_learn_tpu.models import (
         ActorCritic,
         BackboneShared,
@@ -51,11 +50,6 @@ def build_manager(dtype):
     )
 
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
-    env_cfg = ToyEnvConfig(
-        num_worlds=NUM_WORLDS, episode_len=40, grid_size=8, seed=0,
-        reward_dtype=jnp.float32)
-    sim_fns = make_toy_env(env_cfg)
-
     actor_critic = ActorCritic(
         backbone=BackboneShared(
             prefix=lambda obs, train: jnp.concatenate(
@@ -71,6 +65,19 @@ def build_manager(dtype):
         }),
         critic=DenseLayerCritic(dtype=dtype),
     )
+    return actor_critic, actions
+
+
+def build_manager(dtype):
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+
+    env_cfg = ToyEnvConfig(
+        num_worlds=NUM_WORLDS, episode_len=40, grid_size=8, seed=0,
+        reward_dtype=jnp.float32)
+    sim_fns = make_toy_env(env_cfg)
+
+    actor_critic, actions = build_actor_critic(dtype)
     policy = mlt.Policy(
         actor_critic=actor_critic,
         obs_preprocess=mlt.ObservationsEMANormalizer.create(

@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, ".")
 
@@ -61,10 +62,52 @@ def main():
 
     sync = lambda m: jax.device_get(jax.tree.leaves(m)[0])
 
+    # -- analytic model FLOPs ------------------------------------------------
+    # XLA's whole-program cost_analysis counts while-loop bodies ONCE, so
+    # it wildly underestimates scan-heavy RL programs. Instead, measure
+    # loop-free single-step programs and scale by token counts.
+    from flax.core import FrozenDict as FD
+    from jax import random as jrandom
+
+    actor_critic, _ = bench.build_actor_critic(dtype)
+    probe = 1024
+    obs = FD({"delta": jnp.zeros((probe, 2), dtype),
+              "time": jnp.zeros((probe, 1), dtype)})
+    rnn = actor_critic.init_recurrent_state(probe)
+    variables = jax.jit(partial(actor_critic.init, method="rollout"))(
+        jrandom.PRNGKey(0), jrandom.PRNGKey(1), rnn, obs)
+
+    def rollout_step(v, key, rnn, obs):
+        return actor_critic.apply(v, key, rnn, obs, method="rollout")
+
+    fwd_flops = jax.jit(rollout_step).lower(
+        variables, jrandom.PRNGKey(2), rnn, obs).compile(
+        ).cost_analysis().get("flops", 0.0) / probe
+
+    def train_step(v, rnn, dones, actions, obs_seq):
+        def loss(v):
+            out = actor_critic.apply(
+                v, rnn, dones, actions, obs_seq, train=False,
+                method="update")
+            total = sum(jnp.sum(l.astype(jnp.float32))
+                        for l in jax.tree.leaves(out))
+            return total
+        return jax.grad(loss)(v)
+
+    obs1 = jax.tree.map(lambda x: x[None], obs)     # [T=1, N, ...]
+    dones1 = jnp.zeros((1, probe, 1), jnp.bool_)
+    actions1 = {"move": jnp.zeros((1, probe, 1), jnp.int32)}
+    bwd_flops = jax.jit(train_step).lower(
+        variables, rnn, dones1, actions1, obs1).compile(
+        ).cost_analysis().get("flops", 0.0) / probe
+
+    tokens = bench.NUM_WORLDS * bench.STEPS_PER_UPDATE
+    num_epochs = 1
+    flops = tokens * (fwd_flops + num_epochs * bwd_flops)
+
     # -- full update ---------------------------------------------------------
     update = jax.jit(lambda m: m.update_iter())
     update_c = update.lower(mgr).compile()
-    flops = update_c.cost_analysis().get("flops", 0.0)
 
     full_dt, _ = time_compiled(
         update_c, (mgr,),
@@ -91,7 +134,6 @@ def main():
         return out[2]  # rollout_data
 
     collect_c = jax.jit(collect_only).lower(mgr.state, mgr.rollout).compile()
-    collect_flops = collect_c.cost_analysis().get("flops", 0.0)
     collect_dt, _ = time_compiled(
         collect_c, (mgr.state, mgr.rollout),
         lambda rd: jax.device_get(
@@ -119,8 +161,9 @@ def main():
         "collect_ms": round(collect_dt * 1e3, 2),
         "learn_ms": round(learn_dt * 1e3, 2),
         "collect_frac": round(collect_dt / full_dt, 3),
-        "xla_flops_per_update": flops,
-        "collect_flops": collect_flops,
+        "model_flops_per_update": flops,
+        "fwd_flops_per_token": round(fwd_flops, 1),
+        "train_fwd_bwd_flops_per_token": round(bwd_flops, 1),
         "mfu": round(mfu, 4),
         "trace_dir": trace_dir,
     }

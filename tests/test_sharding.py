@@ -190,3 +190,28 @@ def test_shard_local_reorder_reduces_collectives(eight_devices):
     assert n_global > 0, "expected collectives in the global reorder"
     assert n_sharded == 0, (
         f"shard-local reorder emits {n_sharded} collectives")
+
+
+@pytest.mark.slow
+def test_train_sharded_example(tmp_path):
+    """examples/train_sharded.py end to end on the virtual mesh (PBT +
+    shard-local reorder + Elo + async checkpointing)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "examples/train_sharded.py", "--data", "4",
+         "--policy", "2", "--num-updates", "6", "--eval-interval", "3",
+         "--ckpt-dir", str(tmp_path / "ck")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=560,
+        env=env)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert "elos=" in out.stdout and "done;" in out.stdout
+    ckpts = os.listdir(str(tmp_path / "ck"))
+    assert ckpts, "async checkpoint not written"
