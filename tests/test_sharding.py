@@ -215,3 +215,53 @@ def test_train_sharded_example(tmp_path):
     assert "elos=" in out.stdout and "done;" in out.stdout
     ckpts = os.listdir(str(tmp_path / "ck"))
     assert ckpts, "async checkpoint not written"
+
+
+def test_shard_local_layout_matches_single_device(eight_devices):
+    """With mesh configured in the TrainConfig, the SAME shard-local
+    reorder geometry runs on one device and sharded over 8 — results must
+    agree (the layout change is exercised, not just the placement)."""
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_duel_env
+    from test_pbt_e2e import get_episode_scores, make_policy
+
+    num_worlds = 64
+    actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+
+    def build():
+        sim_fns = make_duel_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=8, num_teams=2,
+            team_size=1, seed=33))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=2, num_updates=1,
+            actions=actions, steps_per_update=8, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=33,
+            metrics_buffer_size=1,
+            mesh=mlt.MeshConfig(data=4, policy=2),
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=4, clip_coef=0.2,
+                value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
+            pbt=mlt.PBTConfig(
+                num_teams=2, team_size=1, num_train_policies=4,
+                num_past_policies=2, self_play_portion=0.25,
+                cross_play_portion=0.5, past_play_portion=0.25),
+            dreamer_v3_critic=False)
+        return mlt.init_training(
+            None, cfg, sim_fns, make_policy(actions),
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mgr_single = build()
+    assert mgr_single.rollout.cfg.data_shards == 4  # layout active
+    update = jax.jit(lambda m: m.update_iter())
+    out_single = update(mgr_single)
+    loss_single = np.asarray(jax.device_get(
+        out_single.metrics.metrics["Loss"].mean))
+
+    mesh = make_mesh(mlt.MeshConfig(data=4, policy=2), eight_devices)
+    mgr_sharded = shard_training_manager(build(), mesh)
+    out_sharded = update(mgr_sharded)
+    loss_sharded = np.asarray(jax.device_get(
+        out_sharded.metrics.metrics["Loss"].mean))
+
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-5,
+                               atol=1e-6)
