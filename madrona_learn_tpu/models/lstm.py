@@ -8,10 +8,16 @@ BPTT update pass.
 TPU-first state layout: the (c, h) state is a pair of ``[N, num_layers, H]``
 arrays — the agent batch leads, so the sim<->policy reorder gathers and the
 ``data``-axis mesh sharding act on axis 0 of exactly two contiguous buffers.
-The sequence scan broadcasts params (weights stay VMEM-resident across
-timesteps) and applies the done-mask *after* each step, matching the rollout
-engine's step-then-reset ordering so rollout and update passes see identical
-state trajectories.
+
+TPU-first sequence pass (the PPO update's dominant cost): layers scan one
+after another, and each layer's *input* projection for the whole sequence is
+hoisted out of the scan into a single ``[T*N, F] x [F, 4H]`` matmul — the
+classic fused-RNN restructure. The scan body keeps only the recurrent
+``[N, H] x [H, 4H]`` matmul + gate math, halving in-scan FLOPs and letting
+the hoisted matmul saturate the MXU. The single-step path (rollouts) uses
+the identical packed-kernel math, so rollout and update forwards agree
+bit-for-bit. Done-masking is applied *after* each step, matching the
+rollout engine's step-then-reset ordering.
 """
 
 from __future__ import annotations
@@ -23,46 +29,70 @@ from flax import linen as nn
 __all__ = ["LSTM"]
 
 
-class _StackedCell(nn.Module):
-    """One step through all layers; carry is ([N,L,H] c, [N,L,H] h)."""
+class _PackedLSTMLayer(nn.Module):
+    """One LSTM layer with packed [F, 4H] / [H, 4H] gate kernels.
+
+    Gate order along the packed axis: (i, f, g, o). Input and recurrent
+    projections are separate params so the sequence pass can hoist the
+    input half out of the scan.
+    """
 
     hidden: int
-    layers: int
     dtype: jnp.dtype
 
-    @nn.compact
-    def __call__(self, carry, x):
-        c_in, h_in = carry
+    def _orthogonal_4h(self, key, shape, param_dtype=jnp.float32):
+        # Per-gate orthogonal blocks (matching the per-gate init of the
+        # standard flax cells) packed along the last axis.
+        fan_in = shape[0]
+        keys = jax.random.split(key, 4)
+        blocks = [
+            jax.nn.initializers.orthogonal()(k, (fan_in, self.hidden),
+                                             param_dtype)
+            for k in keys
+        ]
+        return jnp.concatenate(blocks, axis=-1)
 
-        cs, hs, outs = [], [], []
-        layer_in = x
-        for layer in range(self.layers):
-            cell = nn.OptimizedLSTMCell(
-                features=self.hidden,
-                kernel_init=jax.nn.initializers.orthogonal(),
-                recurrent_kernel_init=jax.nn.initializers.orthogonal(),
-                bias_init=jax.nn.initializers.constant(0),
-                dtype=self.dtype,
-                name=f"layer_{layer}",
-            )
-            (c, h), out = cell((c_in[:, layer], h_in[:, layer]), layer_in)
-            layer_in = h
-            cs.append(c)
-            hs.append(h)
-            outs.append(out)
+    def setup(self):
+        H = self.hidden
+        # Input projection as a lazily-shaped Dense (feature count is only
+        # known at first call); recurrent kernel + bias declared here.
+        self.input_proj = nn.Dense(
+            4 * H, use_bias=False, kernel_init=self._orthogonal_4h,
+            dtype=self.dtype, name="input_proj")
+        self.recurrent_kernel = self.param(
+            "recurrent_kernel", self._orthogonal_4h, (H, 4 * H))
+        self.bias = self.param(
+            "bias", jax.nn.initializers.constant(0), (4 * H,))
 
-        carry = (jnp.stack(cs, axis=1), jnp.stack(hs, axis=1))
-        return carry, jnp.concatenate(outs, axis=-1)
+    def __call__(self, carry, x, x_proj=None):
+        c, h = carry  # [N, H] each
+
+        if x_proj is None:
+            x_proj = self.project_input(x)
+
+        gates = (
+            x_proj
+            + h.astype(self.dtype) @ self.recurrent_kernel.astype(self.dtype)
+            + self.bias.astype(self.dtype)
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        new_c = (jax.nn.sigmoid(f) * c.astype(self.dtype)
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        return (new_c.astype(c.dtype), new_h.astype(h.dtype)), new_h
+
+    def project_input(self, x):
+        """[..., F] -> [..., 4H]; hoistable over any leading axes."""
+        return self.input_proj(x)
 
 
 class LSTM(nn.Module):
     num_hidden_channels: int
     num_layers: int
     dtype: jnp.dtype
-    # Unroll factor for the BPTT sequence scan: the training-pass scan body
-    # is small relative to its loop overhead, so unrolling lets XLA pipeline
-    # consecutive steps (sweep with benchmarks/profile_update.py
-    # --lstm-unroll). 1 = plain scan.
+    # Unroll factor for the BPTT sequence scan (sweep with
+    # benchmarks/profile_update.py --lstm-unroll; measured neutral-to-worse
+    # on v5e at the bench shape, kept for other shapes). 1 = plain scan.
     seq_unroll: int = 1
 
     @nn.nowrap
@@ -78,32 +108,66 @@ class LSTM(nn.Module):
             jnp.where(mask, jnp.zeros((), s.dtype), s) for s in rnn_states)
 
     def setup(self):
-        self.cell = _StackedCell(
-            hidden=self.num_hidden_channels,
-            layers=self.num_layers,
-            dtype=self.dtype,
-        )
+        self.cells = [
+            _PackedLSTMLayer(hidden=self.num_hidden_channels,
+                             dtype=self.dtype, name=f"layer_{layer}")
+            for layer in range(self.num_layers)
+        ]
 
     def __call__(self, cur_hiddens, in_features, train):
-        new_hiddens, out = self.cell(cur_hiddens, in_features)
-        return out, new_hiddens
+        c_in, h_in = cur_hiddens
+
+        cs, hs, outs = [], [], []
+        layer_in = in_features
+        for layer, cell in enumerate(self.cells):
+            (c, h), out = cell((c_in[:, layer], h_in[:, layer]), layer_in)
+            layer_in = h
+            cs.append(c)
+            hs.append(h)
+            outs.append(out)
+
+        carry = (jnp.stack(cs, axis=1), jnp.stack(hs, axis=1))
+        return jnp.concatenate(outs, axis=-1), carry
 
     def sequence(self, start_hiddens, seq_ends, seq_x, train):
         """[T, N, F] features -> [T, N, L*H] outputs, clearing state after
-        any step whose ``seq_ends`` flag is set (episode boundary)."""
+        any step whose ``seq_ends`` flag is set (episode boundary).
 
-        def step(cell, carry, x, end):
-            carry, y = cell(carry, x)
-            return self.clear_recurrent_state(carry, end), y
+        Layer-by-layer scans: layer l consumes layer l-1's full output
+        sequence, so each layer's input projection runs as ONE whole-
+        sequence matmul before its scan."""
+        c0, h0 = start_hiddens
 
-        scanned = nn.scan(
-            step,
-            in_axes=0,
-            out_axes=0,
-            variable_broadcast="params",
-            variable_carry=False,
-            split_rngs={"params": False},
-            unroll=self.seq_unroll,
-        )
-        _, outputs = scanned(self.cell, start_hiddens, seq_x, seq_ends)
-        return outputs
+        def clear_pair(carry, end):
+            # end: [N, 1] broadcasts against per-layer [N, H] state.
+            return tuple(
+                jnp.where(end, jnp.zeros((), s.dtype), s) for s in carry)
+
+        def layer_scan(cell, carry0, x_proj_seq, ends):
+            def step(cell, carry, x_proj, end):
+                carry, y = cell(carry, None, x_proj=x_proj)
+                return clear_pair(carry, end), y
+
+            scanned = nn.scan(
+                step,
+                in_axes=0,
+                out_axes=0,
+                variable_broadcast="params",
+                variable_carry=False,
+                split_rngs={"params": False},
+                unroll=self.seq_unroll,
+            )
+            _, ys = scanned(cell, carry0, x_proj_seq, ends)
+            return ys
+
+        outs = []
+        layer_in = seq_x
+        for layer, cell in enumerate(self.cells):
+            # Hoisted whole-sequence input projection: [T, N, F] @ [F, 4H].
+            x_proj_seq = cell.project_input(layer_in)
+            ys = layer_scan(
+                cell, (c0[:, layer], h0[:, layer]), x_proj_seq, seq_ends)
+            layer_in = ys
+            outs.append(ys)
+
+        return jnp.concatenate(outs, axis=-1)
