@@ -37,6 +37,20 @@ def _log_softmax(logits):
     return logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
 
 
+def _select_along_last(x, idx):
+    """``take_along_axis(x, idx, -1)`` as a one-hot multiply-reduce.
+
+    Dynamic gathers lower to serialized per-element VPU loops on TPU — an
+    XProf capture of the full PPO update showed the two [N, num_buckets]
+    action-log-prob gathers alone costing ~15% of device time. With the
+    small bucket counts of discrete action heads, comparing an iota against
+    the index and reducing is a dense vectorized op instead. Differentiable
+    in ``x`` (gradient is the one-hot mask).
+    """
+    k = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.sum(jnp.where(k == idx, x, 0.0), axis=-1, keepdims=True)
+
+
 class DiscreteActionDistributions(flax.struct.PyTreeNode):
     """Multi-head categorical distribution over concatenated logits."""
 
@@ -55,7 +69,7 @@ class DiscreteActionDistributions(flax.struct.PyTreeNode):
         keys = random.split(prng_key, len(self.actions_num_buckets))
         for key, logits in zip(keys, self._head_logits()):
             action = random.categorical(key, logits)[..., None]
-            head_log_probs = jnp.take_along_axis(logits, action, axis=-1) - \
+            head_log_probs = _select_along_last(logits, action) - \
                 jax.nn.logsumexp(logits, axis=-1, keepdims=True)
             actions.append(action)
             log_probs.append(head_log_probs)
@@ -77,7 +91,7 @@ class DiscreteActionDistributions(flax.struct.PyTreeNode):
             entropies.append(-p_logp.sum(axis=-1, keepdims=True))
 
             action = all_actions[..., i][..., None]
-            log_probs.append(jnp.take_along_axis(lp, action, axis=-1))
+            log_probs.append(_select_along_last(lp, action))
         return (jnp.concatenate(log_probs, axis=-1),
                 jnp.concatenate(entropies, axis=-1))
 
