@@ -56,8 +56,13 @@ def build_actor_critic(dtype):
                 [obs["delta"], obs["time"]], axis=-1),
             encoder=RecurrentBackboneEncoder(
                 net=MLP(num_channels=CHANNELS, num_layers=2, dtype=dtype),
+                # Fused Pallas BPTT sequence kernel on TPU (1.46x the XLA
+                # scan at this shape — benchmarks/lstm_bench.py); the
+                # single-step rollout path switches to the kernel's fp32
+                # gate math so both forwards agree.
                 rnn=LSTM(num_hidden_channels=CHANNELS, num_layers=1,
-                         dtype=dtype, seq_unroll=LSTM_UNROLL),
+                         dtype=dtype, seq_unroll=LSTM_UNROLL,
+                         use_pallas=(jax.default_backend() == "tpu")),
             ),
         ),
         actor=DictActor(heads={

@@ -35,10 +35,16 @@ class _PackedLSTMLayer(nn.Module):
     Gate order along the packed axis: (i, f, g, o). Input and recurrent
     projections are separate params so the sequence pass can hoist the
     input half out of the scan.
+
+    ``precise_gates`` computes the gate math in fp32 from the storage-dtype
+    operands (rounding the carry back at the step boundary) — the exact
+    rounding points of the fused Pallas sequence kernel, so the rollout
+    single-step forward and the kernel's update-pass forward agree.
     """
 
     hidden: int
     dtype: jnp.dtype
+    precise_gates: bool = False
 
     def _orthogonal_4h(self, key, shape, param_dtype=jnp.float32):
         # Per-gate orthogonal blocks (matching the per-gate init of the
@@ -70,6 +76,22 @@ class _PackedLSTMLayer(nn.Module):
         if x_proj is None:
             x_proj = self.project_input(x)
 
+        if self.precise_gates:
+            f32 = jnp.float32
+            gates = (
+                x_proj.astype(f32)
+                + jnp.dot(h.astype(self.dtype),
+                          self.recurrent_kernel.astype(self.dtype),
+                          preferred_element_type=f32)
+                + self.bias.astype(self.dtype).astype(f32)
+            )
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            new_c = (jax.nn.sigmoid(f) * c.astype(f32)
+                     + jax.nn.sigmoid(i) * jnp.tanh(g))
+            new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+            new_h = new_h.astype(self.dtype)
+            return (new_c.astype(c.dtype), new_h.astype(h.dtype)), new_h
+
         gates = (
             x_proj
             + h.astype(self.dtype) @ self.recurrent_kernel.astype(self.dtype)
@@ -94,6 +116,11 @@ class LSTM(nn.Module):
     # benchmarks/profile_update.py --lstm-unroll; measured neutral-to-worse
     # on v5e at the bench shape, kept for other shapes). 1 = plain scan.
     seq_unroll: int = 1
+    # Route the BPTT sequence pass through the fused Pallas kernel
+    # (ops/pallas/lstm.py) on TPU, and switch the single-step path to the
+    # kernel's fp32 gate math so both forwards stay consistent. Off-TPU the
+    # sequence pass uses the kernel's jnp twin (same math).
+    use_pallas: bool = False
 
     @nn.nowrap
     def init_recurrent_state(self, N):
@@ -110,7 +137,9 @@ class LSTM(nn.Module):
     def setup(self):
         self.cells = [
             _PackedLSTMLayer(hidden=self.num_hidden_channels,
-                             dtype=self.dtype, name=f"layer_{layer}")
+                             dtype=self.dtype,
+                             precise_gates=self.use_pallas,
+                             name=f"layer_{layer}")
             for layer in range(self.num_layers)
         ]
 
@@ -136,6 +165,9 @@ class LSTM(nn.Module):
         Layer-by-layer scans: layer l consumes layer l-1's full output
         sequence, so each layer's input projection runs as ONE whole-
         sequence matmul before its scan."""
+        if self.use_pallas:
+            return self._sequence_fused(start_hiddens, seq_ends, seq_x)
+
         c0, h0 = start_hiddens
 
         def clear_pair(carry, end):
@@ -167,6 +199,37 @@ class LSTM(nn.Module):
             x_proj_seq = cell.project_input(layer_in)
             ys = layer_scan(
                 cell, (c0[:, layer], h0[:, layer]), x_proj_seq, seq_ends)
+            layer_in = ys
+            outs.append(ys)
+
+        return jnp.concatenate(outs, axis=-1)
+
+    def _sequence_fused(self, start_hiddens, seq_ends, seq_x):
+        """Fused-kernel sequence pass (Pallas on TPU, jnp twin elsewhere)."""
+        from ..ops.pallas.lstm import (
+            lstm_sequence, lstm_sequence_reference, lstm_supported)
+        from .attention import _pallas_backend_ok
+
+        c0, h0 = start_hiddens
+        T, N = seq_x.shape[0], seq_x.shape[1]
+        keep = jnp.where(
+            seq_ends.reshape(T, N), jnp.zeros((), self.dtype),
+            jnp.ones((), self.dtype))
+        fused_ok = (_pallas_backend_ok()
+                    and lstm_supported(self.num_hidden_channels, self.dtype))
+
+        outs = []
+        layer_in = seq_x
+        for layer, cell in enumerate(self.cells):
+            x_proj_seq = cell.project_input(layer_in)
+            wr = cell.recurrent_kernel.astype(self.dtype)
+            b = cell.bias.astype(self.dtype)
+            if fused_ok:
+                ys = lstm_sequence(
+                    x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer])
+            else:
+                ys = lstm_sequence_reference(
+                    x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer])
             layer_in = ys
             outs.append(ys)
 

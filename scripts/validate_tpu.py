@@ -59,6 +59,22 @@ def main():
     results.append(check(
         "pallas entity MHA (masked)", err < 1e-4, f"max err {err:.2e}"))
 
+    from madrona_learn_tpu.ops.pallas.lstm import (
+        lstm_sequence, lstm_sequence_reference)
+
+    T, N, H = 6, 200, 128
+    xp = jnp.asarray(rng.normal(size=(T, N, 4 * H)), jnp.float32)
+    keep = jnp.asarray(rng.random((T, N)) > 0.2, jnp.float32)
+    wr = jnp.asarray(rng.normal(size=(H, 4 * H)) / np.sqrt(H), jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(4 * H,)), jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
+    err = float(jnp.max(jnp.abs(
+        lstm_sequence(xp, keep, wr, lb, c0, h0)
+        - lstm_sequence_reference(xp, keep, wr, lb, c0, h0))))
+    results.append(check(
+        "pallas fused LSTM sequence", err < 1e-4, f"max err {err:.2e}"))
+
     # -- flagship entity-attention forward (rollout path -> pallas kernel) --
     import __graft_entry__
 

@@ -194,3 +194,130 @@ def test_grouped_matmul_matches_reference(shape):
     want = grouped_matmul_reference(x, w, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused LSTM sequence kernel
+# ---------------------------------------------------------------------------
+
+def _lstm_rand(seed, T, N, H, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    xp = jnp.asarray(rng.normal(size=(T, N, 4 * H)), dtype)
+    keep = jnp.asarray(rng.random((T, N)) > 0.2, dtype)
+    wr = jnp.asarray(rng.normal(size=(H, 4 * H)) / np.sqrt(H), dtype)
+    b = jnp.asarray(rng.normal(size=(4 * H,)), dtype)
+    c0 = jnp.asarray(rng.normal(size=(N, H)), dtype)
+    h0 = jnp.asarray(rng.normal(size=(N, H)), dtype)
+    return xp, keep, wr, b, c0, h0
+
+
+@pytest.mark.parametrize("T,N,H", [(5, 70, 128), (3, 512, 128), (1, 9, 128)])
+def test_lstm_kernel_forward_matches_reference(T, N, H):
+    from madrona_learn_tpu.ops.pallas.lstm import (
+        lstm_sequence, lstm_sequence_reference)
+
+    args = _lstm_rand(10, T, N, H)
+    got = lstm_sequence(*args, interpret=True)
+    want = lstm_sequence_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_kernel_backward_matches_reference():
+    from madrona_learn_tpu.ops.pallas.lstm import (
+        lstm_sequence, lstm_sequence_reference)
+
+    T, N, H = 4, 70, 128
+    args = _lstm_rand(11, T, N, H)
+    probe = jnp.asarray(
+        np.random.default_rng(12).normal(size=(T, N, H)), jnp.float32)
+
+    def loss_kernel(xp, wr, b, c0, h0):
+        ys = lstm_sequence(xp, args[1], wr, b, c0, h0, True)
+        return jnp.sum(ys * probe)
+
+    def loss_ref(xp, wr, b, c0, h0):
+        ys = lstm_sequence_reference(xp, args[1], wr, b, c0, h0)
+        return jnp.sum(ys * probe)
+
+    diff = (args[0],) + args[2:]
+    got = jax.grad(loss_kernel, argnums=tuple(range(5)))(*diff)
+    want = jax.grad(loss_ref, argnums=tuple(range(5)))(*diff)
+    for g, w, name in zip(got, want, ("dxp", "dwr", "db", "dc0", "dh0")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4,
+            err_msg=name)
+
+
+def test_lstm_module_fused_matches_stepwise():
+    """LSTM(use_pallas=True): the fused sequence path (jnp twin off-TPU)
+    must reproduce the precise-gates step-by-step path with done clears —
+    the rollout/update consistency contract at the module level."""
+    from madrona_learn_tpu.models import LSTM
+
+    dtype = jnp.float32
+    N, T, H, F = 6, 12, 128, 8
+    lstm = LSTM(num_hidden_channels=H, num_layers=2, dtype=dtype,
+                use_pallas=True)
+
+    rng = np.random.default_rng(13)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.2)
+
+    init_state = lstm.init_recurrent_state(N)
+    params = lstm.init(jax.random.PRNGKey(0), init_state, xs[0], False)
+
+    state = init_state
+    outs = []
+    for t in range(T):
+        out, state = lstm.apply(params, state, xs[t], False)
+        state = lstm.clear_recurrent_state(state, dones[t])
+        outs.append(out)
+    stepwise = jnp.stack(outs)
+
+    seq_out = lstm.apply(
+        params, init_state, dones, xs, False, method="sequence")
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(seq_out), rtol=1e-5, atol=1e-5)
+
+    # Param structure is identical with and without the flag (checkpoints
+    # are interchangeable).
+    params_plain = LSTM(
+        num_hidden_channels=H, num_layers=2, dtype=dtype).init(
+            jax.random.PRNGKey(0), init_state, xs[0], False)
+    assert jax.tree.structure(params) == jax.tree.structure(params_plain)
+
+
+def test_lstm_kernel_module_path_matches_twin():
+    """Force the kernel (interpret) through the module's fused path."""
+    from madrona_learn_tpu.models import LSTM
+    import madrona_learn_tpu.models.attention as mattn
+    import madrona_learn_tpu.ops.pallas.lstm as plstm
+
+    dtype = jnp.float32
+    N, T, H, F = 10, 6, 128, 16
+    lstm = LSTM(num_hidden_channels=H, num_layers=1, dtype=dtype,
+                use_pallas=True)
+
+    rng = np.random.default_rng(14)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.3)
+    init_state = lstm.init_recurrent_state(N)
+    params = lstm.init(jax.random.PRNGKey(1), init_state, xs[0], False)
+
+    twin = lstm.apply(params, init_state, dones, xs, False,
+                      method="sequence")
+
+    orig_seq = plstm.lstm_sequence
+    orig_ok = mattn._pallas_backend_ok
+    plstm.lstm_sequence = lambda *a, **kw: orig_seq(*a, True)
+    mattn._pallas_backend_ok = lambda: True
+    try:
+        fused = lstm.apply(params, init_state, dones, xs, False,
+                           method="sequence")
+    finally:
+        plstm.lstm_sequence = orig_seq
+        mattn._pallas_backend_ok = orig_ok
+
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(twin),
+                               rtol=1e-5, atol=1e-5)
