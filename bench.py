@@ -27,7 +27,9 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-NUM_WORLDS = 32768  # throughput sweet spot from the v5e batch-size sweep
+NUM_WORLDS = 16384  # v5e sweet spot (scripts/bench_world_sweep.py; moved
+                    # down from 32768 after the fused LSTM kernel shifted
+                    # the collect/learn balance)
 LSTM_UNROLL = 1
 STEPS_PER_UPDATE = 32
 NUM_BPTT_CHUNKS = 2
