@@ -21,6 +21,8 @@ def main():
     p.add_argument("--F", type=int, default=256)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--sweep-block", action="store_true",
+                   help="sweep the kernel's batch-block size")
     args = p.parse_args()
 
     from madrona_learn_tpu.models import LSTM
@@ -92,10 +94,28 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         return dt
 
-    t_scan = bench_variant(False)
-    t_fused = bench_variant(True)
     toks = T * N
     print(f"shape T={T} N={N} H={H} F={F} dtype={args.dtype}")
+
+    if args.sweep_block:
+        import madrona_learn_tpu.ops.pallas.lstm as plstm
+        for bn in (256, 512, 1024, 2048):
+            if bn > N:
+                continue
+            plstm._BLOCK_N_OVERRIDE = bn
+            try:
+                t = bench_variant(True)
+            except Exception as e:  # e.g. scoped-VMEM OOM at large BN
+                print(f"fused BN={bn:5d}: FAILED "
+                      f"({type(e).__name__}: {str(e).splitlines()[0][:100]})")
+                continue
+            print(f"fused BN={bn:5d}: {t*1e3:8.3f} ms  "
+                  f"({toks/t/1e6:7.2f}M tok/s)")
+        plstm._BLOCK_N_OVERRIDE = None
+        return
+
+    t_scan = bench_variant(False)
+    t_fused = bench_variant(True)
     print(f"scan  fwd+bwd: {t_scan*1e3:8.3f} ms  "
           f"({toks/t_scan/1e6:7.2f}M tok/s)")
     print(f"fused fwd+bwd: {t_fused*1e3:8.3f} ms  "

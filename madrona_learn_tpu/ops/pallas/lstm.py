@@ -44,10 +44,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_n(hidden):
-    # VMEM budget: the x_proj block is [1, BN, 4H] plus double-buffering;
-    # keep the working set comfortably under the ~16MB VMEM.
-    return 512 if hidden <= 256 else 256
+# Experiment override for benchmarks/lstm_bench.py --sweep-block.
+_BLOCK_N_OVERRIDE = None
+
+
+def _block_n(hidden, n):
+    # Batch-tile size, swept on v5e. BN>=1024 blows scoped VMEM in the
+    # backward (~27MB vs the 16MB limit: double-buffered [1, BN, 4H]
+    # streams + [BN, 4H] fp32 gate intermediates). Between 256 and 512
+    # the ISOLATED module bench favors 256 at N=8192 (6.2 vs 8.3 ms,
+    # benchmarks/lstm_bench.py --sweep-block) but INSIDE the full PPO
+    # update BN=512 is consistently ~2% faster end-to-end (3-trial A/B at
+    # the headline bench shape) — trust the in-context number; 256 only
+    # for small batches where 512 would mostly be padding.
+    if _BLOCK_N_OVERRIDE is not None:
+        return _BLOCK_N_OVERRIDE
+    del hidden
+    return 256 if n <= 256 else 512
 
 
 def lstm_supported(hidden, dtype):
@@ -170,7 +183,7 @@ def _pad_batch(arrs, n, block):
 def _fwd_impl(x_proj, keep, wr, bias, c0, h0, interpret):
     T, N, G4 = x_proj.shape
     H = G4 // 4
-    BN = _block_n(H)
+    BN = _block_n(H, N)
     keep3 = keep[..., None]  # [T, N, 1]: keeps Mosaic's (8,128) tiling legal
     (x_proj, _), (keep3, _), (c0, _), (h0, _) = _pad_batch(
         [(x_proj, 1), (keep3, 1), (c0, 0), (h0, 0)], N, BN)[0]
@@ -231,7 +244,7 @@ def _lstm_seq_bwd(interpret, residuals, dys):
     x_proj, keep, wr, bias, c0, h0, ys, cs = residuals
     T, N, G4 = x_proj.shape
     H = G4 // 4
-    BN = _block_n(H)
+    BN = _block_n(H, N)
     keep3 = keep[..., None]  # [T, N, 1]
     padded, n_padded = _pad_batch(
         [(x_proj, 1), (keep3, 1), (c0, 0), (h0, 0), (ys, 1), (cs, 1),
