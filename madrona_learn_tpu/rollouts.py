@@ -385,6 +385,15 @@ class RolloutData(flax.struct.PyTreeNode):
 # The rollout loop
 # ---------------------------------------------------------------------------
 
+# Unroll factor for the per-step sim/inference scan. The step body is many
+# small launch-bound ops at rollout batch sizes; unrolling lets XLA fuse
+# across step boundaries. A/B'd end-to-end on v5e at the headline bench
+# shape (3 trials each, same process): unroll=1 11.7-12.0M env-steps/s,
+# unroll=2 12.74-12.76M (+8%), unroll=4 12.5-12.8M (no further gain,
+# bigger program). lax.scan handles non-dividing step counts.
+_ROLLOUT_SCAN_UNROLL = 2
+
+
 def rollout_loop(
     rollout_state: RolloutState,
     policy_states,
@@ -535,7 +544,8 @@ def rollout_loop(
     (rollout_state, cb_state), emits = lax.scan(
         step,
         (rollout_state, cb_state),
-        start_step_idx + jnp.arange(num_steps))
+        start_step_idx + jnp.arange(num_steps),
+        unroll=_ROLLOUT_SCAN_UNROLL)
 
     return rollout_state, cb_state, emits
 
