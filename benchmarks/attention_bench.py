@@ -77,10 +77,52 @@ def bench_case(name, batch, entity_counts, feat, steps, dtype):
     return results
 
 
+def bench_kernels(batch, seq, heads, head_dim, steps, dtype):
+    """Raw kernel-level comparison: single-pass mha vs flash vs XLA twin."""
+    from madrona_learn_tpu.ops.pallas.attention import (
+        mha, mha_flash, mha_reference)
+
+    rng = np.random.default_rng(1)
+    shape = (batch, seq, heads, head_dim)
+    q = jnp.asarray(rng.normal(size=shape), dtype)
+    k = jnp.asarray(rng.normal(size=shape), dtype)
+    v = jnp.asarray(rng.normal(size=shape), dtype)
+    valid = seq - 1  # exercise the mask path like the model does
+
+    def timed(name, fn):
+        def run(q, k, v):
+            def step(acc, _):
+                o = fn(q, k, v)
+                return acc + jnp.sum(o.astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros((), jnp.float32), None, length=steps)
+            return acc
+        try:
+            compiled = jax.jit(run).lower(q, k, v).compile()
+            jax.device_get(compiled(q, k, v))
+            t0 = time.perf_counter()
+            jax.device_get(compiled(q, k, v))
+            dt = time.perf_counter() - t0
+        except Exception as e:  # e.g. scoped-VMEM OOM on the [S,S] tile
+            print(f"  S={seq:4d} {name:10s}: FAILED "
+                  f"({type(e).__name__}: {str(e).splitlines()[0][:90]})",
+                  flush=True)
+            return None
+        per = dt / steps * 1e3
+        print(f"  S={seq:4d} {name:10s}: {per:8.3f} ms/call", flush=True)
+        return per
+
+    timed("xla", lambda q, k, v: mha_reference(q, k, v, valid_len=valid))
+    timed("fused", lambda q, k, v: mha(q, k, v, valid_len=valid))
+    timed("flash", lambda q, k, v: mha_flash(q, k, v, valid_len=valid))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=16384)
     parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--kernels", action="store_true",
+                        help="raw kernel comparison across entity counts")
     args = parser.parse_args()
 
     backend = jax.default_backend()
@@ -100,6 +142,12 @@ def main():
         mattn._pallas_backend_ok = lambda: True
         print("(non-TPU backend: pallas in interpret mode, "
               "numbers not comparable)")
+
+    if args.kernels:
+        for seq in (64, 128, 256, 512):
+            bench_kernels(max(args.batch // (seq // 16), 64), seq, 4, 32,
+                          args.steps, dtype)
+        return
 
     # Flagship shape: 5+6 entities + self = 12, padded to 16.
     bench_case("entities=12(pad16)", args.batch, (5, 6), 12, args.steps,

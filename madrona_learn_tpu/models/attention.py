@@ -56,7 +56,16 @@ class SelfAttention(nn.Module):
         # log-probs the update pass recomputes have to match the rollout's
         # bit-for-bit — mixing kernel (f32 softmax) and XLA (compute-dtype)
         # attention across the two passes would bias every ratio at epoch 0.
-        use_pallas = self.use_pallas and _pallas_backend_ok()
+        #
+        # Auto-route by entity count: past 256 the single-pass kernel's
+        # [S, S] score tile blows scoped VMEM, and the flash variant
+        # (ops/pallas/attention.py:mha_flash) measures SLOWER than XLA
+        # there (v5e, benchmarks/attention_bench.py --kernels: S=512 flash
+        # 1.41 ms vs XLA 0.93; S=1024 1.61 vs 1.18 — constant-token
+        # comparison is bandwidth-bound and XLA's fusion wins), so large
+        # sets take the XLA path.
+        use_pallas = (self.use_pallas and _pallas_backend_ok()
+                      and padded_len <= 256)
 
         if use_pallas:
             from ..ops.pallas.attention import mha as pallas_mha
@@ -123,8 +132,8 @@ class EntitySelfAttentionNet(nn.Module):
     # -7% (backward recomputes through the jnp twin). Default ON: the
     # rollout pass runs steps_per_update times per collected step while the
     # update touches each step num_epochs times, so the forward win
-    # dominates at typical epoch counts. Disable for >=256-entity sets
-    # (kernel loses ~10%) or epoch-heavy configs.
+    # dominates at typical epoch counts. Entity sets past 256 auto-route
+    # to XLA (see SelfAttention); disable manually for epoch-heavy configs.
     use_pallas: bool = True
 
     @nn.compact

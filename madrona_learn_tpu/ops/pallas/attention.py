@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_B = 8
 
@@ -130,6 +131,130 @@ def _mha_impl(q, k, v, valid_len, interpret):
 
     out = out[:B * H].reshape(B, H, S, D).transpose(0, 2, 1, 3)
     return out
+
+
+# --- flash variant: KV-chunked online softmax for large entity counts ----
+#
+# The single-pass kernel above holds the whole [BLOCK_B, S, S] score matrix
+# in VMEM; past ~128 entities that loses to XLA (benchmarks/
+# attention_bench.py). This variant is the classic flash loop — the
+# reference's Triton kernel's structure (reference: pallas/attention.py:
+# 34-150) re-expressed as a Mosaic grid: kv chunks innermost, the
+# (max, sum, acc) online-softmax state in VMEM scratch across the kv axis.
+
+FLASH_BLOCK_S = 128
+
+
+def _mha_flash_kernel(scale, valid_len, q_ref, k_ref, v_ref, o_ref,
+                      acc_scr, m_scr, l_scr):
+    ki = pl.program_id(2)
+    num_k = pl.num_programs(2)
+    f32 = jnp.float32
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[...].astype(f32)  # [BB, BQ, D]
+    k = k_ref[...].astype(f32)  # [BB, BK, D]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ) * scale  # [BB, BQ, BK]
+
+    key_idx = ki * FLASH_BLOCK_S + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 2)
+    s = jnp.where(key_idx < valid_len, s, _NEG_INF)
+
+    m_prev = m_scr[...]                               # [BB, BQ]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_new[..., None])
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1)
+    acc_scr[...] = (
+        acc_scr[...] * alpha[..., None]
+        + jax.lax.dot_general(
+            p, v_ref[...].astype(f32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32))
+    m_scr[...] = m_new
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_scr[...] / l_scr[...][..., None]).astype(o_ref.dtype)
+
+
+def _mha_flash_impl(q, k, v, valid_len, interpret):
+    B, S, H, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    if valid_len is None:
+        valid_len = S
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    pad_b = (-(B * H)) % BLOCK_B
+    pad_s = (-S) % FLASH_BLOCK_S
+    widths = [(0, pad_b), (0, pad_s), (0, 0)]
+    if pad_b or pad_s:
+        qb = jnp.pad(qb, widths)
+        kb = jnp.pad(kb, widths)
+        vb = jnp.pad(vb, widths)
+    n = B * H + pad_b
+    s_pad = S + pad_s
+    bs = FLASH_BLOCK_S
+
+    grid = (n // BLOCK_B, s_pad // bs, s_pad // bs)  # kv innermost
+    out = pl.pallas_call(
+        functools.partial(_mha_flash_kernel, scale, valid_len),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_B, bs, D), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s_pad, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_B, bs, D), jnp.float32),
+            pltpu.VMEM((BLOCK_B, bs), jnp.float32),
+            pltpu.VMEM((BLOCK_B, bs), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:B * H, :S].reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mha_flash(q, k, v, valid_len, interpret):
+    return _mha_flash_impl(q, k, v, valid_len, interpret)
+
+
+def _mha_flash_fwd_rule(q, k, v, valid_len, interpret):
+    return _mha_flash_impl(q, k, v, valid_len, interpret), (q, k, v)
+
+
+_mha_flash.defvjp(_mha_flash_fwd_rule, _mha_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))
+def mha_flash(q, k, v, valid_len=None, interpret=False):
+    """Flash (online-softmax, KV-chunked) attention: [B, S, H, D] -> same.
+
+    Same contract as ``mha``; use for large entity counts where the
+    single-pass kernel's [S, S] score tile stops paying (see
+    benchmarks/attention_bench.py for the measured crossover).
+    """
+    return _mha_flash(q, k, v, valid_len, interpret)
 
 
 def mha_reference(q, k, v, valid_len=None):

@@ -133,6 +133,54 @@ def test_mha_masked_matches_reference(shape, valid):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape,valid", [
+    ((2, 256, 2, 32), None),    # multi-chunk KV, no mask
+    ((2, 256, 2, 32), 200),     # mask inside the last chunk
+    ((1, 300, 4, 64), 300),     # S not a chunk multiple (padded keys masked)
+    ((3, 130, 2, 32), 97),      # q/k pad + mask across chunk boundary
+])
+def test_mha_flash_matches_reference(shape, valid):
+    from madrona_learn_tpu.ops.pallas.attention import mha_flash
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    got = mha_flash(q, k, v, valid_len=valid, interpret=True)
+    want = mha_reference(q, k, v, valid_len=valid)
+    vl = valid if valid is not None else shape[1]
+    np.testing.assert_allclose(np.asarray(got[:, :vl]),
+                               np.asarray(want[:, :vl]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mha_flash_backward_matches_reference():
+    from madrona_learn_tpu.ops.pallas.attention import mha_flash
+
+    rng = np.random.default_rng(9)
+    shape, valid = (2, 256, 2, 32), 250
+    q = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    v = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    probe = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            return jnp.sum(out[:, :valid] * probe[:, :valid])
+        return f
+
+    got = jax.grad(loss(lambda q, k, v: mha_flash(
+        q, k, v, valid_len=valid, interpret=True)), argnums=(0, 1, 2))(
+        q, k, v)
+    want = jax.grad(loss(lambda q, k, v: mha_reference(
+        q, k, v, valid_len=valid)), argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_entity_net_pallas_path_matches_xla():
     """EntitySelfAttentionNet with use_pallas=True (padded 12-entity set)
     must match the flax attention path on identical params."""
