@@ -133,6 +133,35 @@ def test_large_population_sharded_update(eight_devices):
     assert mgr.state.policy_states.mmr.elo.shape == (num_train + num_past,)
 
 
+def test_sharded_eval_elo_matches_single_device(eight_devices):
+    """The all-pairs Elo tournament must run on a population/data-sharded
+    manager and produce the same Elo deltas as the single-device run (the
+    TODO.md 'population sharding for eval_elo' item)."""
+    import madrona_learn_tpu as mlt
+
+    kwargs = dict(
+        num_eval_steps=8,
+        eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
+        train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mgr_single = build_training_mgr(seed=31)
+    _, deltas_single = jax.jit(
+        lambda m: mlt.eval_elo(m, **kwargs))(mgr_single)
+
+    mesh = make_mesh(mlt.MeshConfig(data=4, policy=2), eight_devices)
+    mgr_sharded = shard_training_manager(build_training_mgr(seed=31), mesh)
+    mgr_out, deltas_sharded = jax.jit(
+        lambda m: mlt.eval_elo(m, **kwargs))(mgr_sharded)
+
+    np.testing.assert_allclose(np.asarray(deltas_single),
+                               np.asarray(deltas_sharded),
+                               rtol=1e-4, atol=1e-3)
+    # Tournament must hand back a manager whose matchmaking portions are
+    # restored for training (same contract as the unsharded path).
+    assert np.isfinite(
+        np.asarray(mgr_out.state.policy_states.mmr.elo)).all()
+
+
 def test_shard_local_reorder_reduces_collectives(eight_devices):
     """The shard-local reorder must compile to (near-)collective-free SPMD
     code under a data-sharded batch, while the global construction needs
