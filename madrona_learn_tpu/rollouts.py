@@ -663,6 +663,17 @@ class RolloutManager:
 
     def _compute_value_estimate(self, critic_out):
         if self._critic_outputs_distribution:
+            if isinstance(critic_out, jax.Array):
+                # .mean() on a plain array would silently collapse the batch
+                # axis and surface later as an inscrutable scan-carry shape
+                # error in GAE.
+                raise TypeError(
+                    "TrainConfig.dreamer_v3_critic/hlgauss_critic is "
+                    "enabled, but the model's critic returned a plain "
+                    "array (a scalar critic such as DenseLayerCritic). "
+                    "Either set dreamer_v3_critic=False in TrainConfig or "
+                    "use a distributional critic (DreamerV3Critic / "
+                    "HLGaussCritic).")
             return critic_out.mean()
         return critic_out
 

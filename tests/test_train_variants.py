@@ -97,6 +97,13 @@ def test_hlgauss_critic():
             hlgauss_critic=True)
 
 
+def test_scalar_critic_with_distributional_flag_raises():
+    """dreamer_v3_critic=True + a scalar critic must fail loudly, not
+    silently .mean()-collapse the batch into a cryptic GAE scan error."""
+    with pytest.raises(TypeError, match="dreamer_v3_critic"):
+        run_cfg(num_updates=1, dreamer_v3_critic=True)
+
+
 def test_hlgauss_two_part_critic():
     run_cfg(critic=HLGaussTwoPartCritic.create(dtype=jnp.float32),
             hlgauss_critic=True)
