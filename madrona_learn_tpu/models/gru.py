@@ -7,6 +7,17 @@ recurrent FLOPs). Drop-in for ``LSTM`` anywhere a backbone takes an ``rnn``:
 same ``init_recurrent_state`` / ``clear_recurrent_state`` / ``__call__`` /
 ``sequence`` surface, same batch-leading TPU state layout and
 step-then-reset done-mask ordering.
+
+Round-2 restructure (cuDNN-style, mirroring models/lstm.py): gates are
+packed ``[r | z | n]`` with separate input/recurrent kernels, so the
+sequence pass hoists each layer's input projection out of the BPTT scan as
+ONE whole-sequence matmul, and ``use_pallas=True`` routes the scan through
+the fused Mosaic kernel (ops/pallas/gru.py) on TPU with fp32 gate math on
+both the single-step and sequence paths. Gate equations follow flax's
+``nn.GRUCell`` (linear-before-reset):
+
+    r = sigmoid(x_r + h @ W_hr);  z = sigmoid(x_z + h @ W_hz)
+    n = tanh(x_n + r * (h @ W_hn + b_hn));  h' = (1 - z) * n + z * h
 """
 
 from __future__ import annotations
@@ -18,32 +29,63 @@ from flax import linen as nn
 __all__ = ["GRU"]
 
 
-class _StackedGRUCell(nn.Module):
-    """One step through all layers; carry is a single [N, L, H] array."""
+class _PackedGRULayer(nn.Module):
+    """One GRU layer, gates packed [r|z|n]; input/recurrent kernels split
+    so the sequence pass can hoist the input half out of the scan."""
 
     hidden: int
-    layers: int
     dtype: jnp.dtype
 
-    @nn.compact
-    def __call__(self, carry, x):
-        hs, outs = [], []
-        layer_in = x
-        for layer in range(self.layers):
-            cell = nn.GRUCell(
-                features=self.hidden,
-                kernel_init=jax.nn.initializers.orthogonal(),
-                recurrent_kernel_init=jax.nn.initializers.orthogonal(),
-                bias_init=jax.nn.initializers.constant(0),
-                dtype=self.dtype,
-                name=f"layer_{layer}",
-            )
-            h, out = cell(carry[:, layer], layer_in)
-            layer_in = h
-            hs.append(h)
-            outs.append(out)
+    def _orthogonal_3h(self, key, shape, param_dtype=jnp.float32):
+        # Per-gate orthogonal blocks, matching flax GRUCell's per-dense
+        # orthogonal init.
+        init = jax.nn.initializers.orthogonal()
+        cols = shape[-1] // 3
+        keys = jax.random.split(key, 3)
+        blocks = [init(k, (shape[0], cols), param_dtype) for k in keys]
+        return jnp.concatenate(blocks, axis=-1)
 
-        return jnp.stack(hs, axis=1), jnp.concatenate(outs, axis=-1)
+    @nn.compact
+    def __call__(self, h, x, x_proj=None):
+        input_kernel = self.param(
+            "input_kernel", self._orthogonal_3h,
+            (x.shape[-1] if x is not None else 1, 3 * self.hidden))
+        recurrent_kernel = self.param(
+            "recurrent_kernel", self._orthogonal_3h,
+            (self.hidden, 3 * self.hidden))
+        bias_i = self.param(
+            "bias_i", jax.nn.initializers.zeros, (3 * self.hidden,))
+        bias_h = self.param(
+            "bias_h", jax.nn.initializers.zeros, (self.hidden,))
+
+        if x_proj is None:
+            x_proj = self.project_input(x)
+
+        f32 = jnp.float32
+        H = self.hidden
+        wh = recurrent_kernel.astype(self.dtype)
+        hp = jnp.dot(h.astype(self.dtype), wh, preferred_element_type=f32)
+        xp = x_proj.astype(f32)
+        hn_lin = hp[..., 2 * H:] + bias_h.astype(f32)
+        r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
+        z = jax.nn.sigmoid(xp[..., H:2 * H] + hp[..., H:2 * H])
+        n = jnp.tanh(xp[..., 2 * H:] + r * hn_lin)
+        new_h = ((1.0 - z) * n + z * h.astype(f32)).astype(self.dtype)
+        return new_h.astype(h.dtype), new_h
+
+    def project_input(self, x):
+        """x @ W_i + b_i as one matmul (hoistable before the scan)."""
+        return (x.astype(self.dtype)
+                @ self.variables["params"]["input_kernel"].astype(self.dtype)
+                + self.variables["params"]["bias_i"].astype(self.dtype))
+
+    @property
+    def recurrent_kernel(self):
+        return self.variables["params"]["recurrent_kernel"]
+
+    @property
+    def bias_h(self):
+        return self.variables["params"]["bias_h"]
 
 
 class GRU(nn.Module):
@@ -52,6 +94,11 @@ class GRU(nn.Module):
     dtype: jnp.dtype
     # See LSTM.seq_unroll.
     seq_unroll: int = 1
+    # Route the BPTT sequence pass through the fused Pallas kernel
+    # (ops/pallas/gru.py) on TPU; off-TPU the sequence pass uses the
+    # kernel's jnp twin (same math). The single-step path always runs the
+    # same fp32 gate math, so rollout and update forwards agree.
+    use_pallas: bool = False
 
     @nn.nowrap
     def init_recurrent_state(self, N):
@@ -65,32 +112,52 @@ class GRU(nn.Module):
         return jnp.where(mask, jnp.zeros((), rnn_states.dtype), rnn_states)
 
     def setup(self):
-        self.cell = _StackedGRUCell(
-            hidden=self.num_hidden_channels,
-            layers=self.num_layers,
-            dtype=self.dtype,
-        )
+        self.cells = [
+            _PackedGRULayer(hidden=self.num_hidden_channels,
+                            dtype=self.dtype, name=f"layer_{layer}")
+            for layer in range(self.num_layers)
+        ]
 
     def __call__(self, cur_hiddens, in_features, train):
-        new_hiddens, out = self.cell(cur_hiddens, in_features)
-        return out, new_hiddens
+        hs, outs = [], []
+        layer_in = in_features
+        for layer, cell in enumerate(self.cells):
+            h, out = cell(cur_hiddens[:, layer], layer_in)
+            layer_in = out
+            hs.append(h)
+            outs.append(out)
+        return jnp.concatenate(outs, axis=-1), jnp.stack(hs, axis=1)
 
     def sequence(self, start_hiddens, seq_ends, seq_x, train):
         """[T, N, F] features -> [T, N, L*H] outputs, clearing state after
-        any step whose ``seq_ends`` flag is set (episode boundary)."""
+        any step whose ``seq_ends`` flag is set (episode boundary).
 
-        def step(cell, carry, x, end):
-            carry, y = cell(carry, x)
-            return self.clear_recurrent_state(carry, end), y
+        Layer-by-layer: each layer's input projection runs as ONE
+        whole-sequence matmul before its time scan (fused kernel on TPU
+        when ``use_pallas``, jnp twin otherwise)."""
+        from ..ops.pallas.gru import (
+            gru_sequence, gru_sequence_reference, gru_supported)
+        from .attention import _pallas_backend_ok
 
-        scanned = nn.scan(
-            step,
-            in_axes=0,
-            out_axes=0,
-            variable_broadcast="params",
-            variable_carry=False,
-            split_rngs={"params": False},
-            unroll=self.seq_unroll,
-        )
-        _, outputs = scanned(self.cell, start_hiddens, seq_x, seq_ends)
-        return outputs
+        T, N = seq_x.shape[0], seq_x.shape[1]
+        keep = jnp.where(
+            seq_ends.reshape(T, N), jnp.zeros((), self.dtype),
+            jnp.ones((), self.dtype))
+        fused_ok = (self.use_pallas and _pallas_backend_ok()
+                    and gru_supported(self.num_hidden_channels, self.dtype))
+
+        outs = []
+        layer_in = seq_x
+        for layer, cell in enumerate(self.cells):
+            x_proj_seq = cell.project_input(layer_in)
+            wh = cell.recurrent_kernel.astype(self.dtype)
+            bh = cell.bias_h.astype(self.dtype)
+            h0 = start_hiddens[:, layer]
+            if fused_ok:
+                ys = gru_sequence(x_proj_seq, keep, wh, bh, h0)
+            else:
+                ys = gru_sequence_reference(x_proj_seq, keep, wh, bh, h0)
+            layer_in = ys
+            outs.append(ys)
+
+        return jnp.concatenate(outs, axis=-1)

@@ -259,6 +259,120 @@ def _lstm_rand(seed, T, N, H, dtype=jnp.float32):
     return xp, keep, wr, b, c0, h0
 
 
+def _gru_rand(seed, T, N, H, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    xp = jnp.asarray(rng.normal(size=(T, N, 3 * H)), dtype)
+    keep = jnp.asarray(rng.random((T, N)) > 0.2, dtype)
+    wh = jnp.asarray(rng.normal(size=(H, 3 * H)) / np.sqrt(H), dtype)
+    bh = jnp.asarray(rng.normal(size=(H,)), dtype)
+    h0 = jnp.asarray(rng.normal(size=(N, H)), dtype)
+    return xp, keep, wh, bh, h0
+
+
+@pytest.mark.parametrize("T,N,H", [(5, 70, 128), (3, 512, 128), (1, 9, 128)])
+def test_gru_kernel_forward_matches_reference(T, N, H):
+    from madrona_learn_tpu.ops.pallas.gru import (
+        gru_sequence, gru_sequence_reference)
+
+    args = _gru_rand(20, T, N, H)
+    got = gru_sequence(*args, interpret=True)
+    want = gru_sequence_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gru_kernel_backward_matches_reference():
+    from madrona_learn_tpu.ops.pallas.gru import (
+        gru_sequence, gru_sequence_reference)
+
+    T, N, H = 4, 70, 128
+    args = _gru_rand(21, T, N, H)
+    probe = jnp.asarray(
+        np.random.default_rng(22).normal(size=(T, N, H)), jnp.float32)
+
+    def loss_kernel(xp, wh, bh, h0):
+        ys = gru_sequence(xp, args[1], wh, bh, h0, True)
+        return jnp.sum(ys * probe)
+
+    def loss_ref(xp, wh, bh, h0):
+        ys = gru_sequence_reference(xp, args[1], wh, bh, h0)
+        return jnp.sum(ys * probe)
+
+    diff = (args[0],) + args[2:]
+    got = jax.grad(loss_kernel, argnums=tuple(range(4)))(*diff)
+    want = jax.grad(loss_ref, argnums=tuple(range(4)))(*diff)
+    for g, w, name in zip(got, want, ("dxp", "dwh", "dbh", "dh0")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4,
+            err_msg=name)
+
+
+def test_gru_module_fused_matches_stepwise():
+    """GRU(use_pallas=True): the fused sequence path (jnp twin off-TPU)
+    must reproduce the step-by-step path with done clears."""
+    from madrona_learn_tpu.models import GRU
+
+    dtype = jnp.float32
+    N, T, H, F = 6, 12, 128, 8
+    gru = GRU(num_hidden_channels=H, num_layers=2, dtype=dtype,
+              use_pallas=True)
+
+    rng = np.random.default_rng(23)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.2)
+
+    init_state = gru.init_recurrent_state(N)
+    params = gru.init(jax.random.PRNGKey(0), init_state, xs[0], False)
+
+    state = init_state
+    outs = []
+    for t in range(T):
+        out, state = gru.apply(params, state, xs[t], False)
+        state = gru.clear_recurrent_state(state, dones[t])
+        outs.append(out)
+    stepwise = jnp.stack(outs)
+
+    seq_out = gru.apply(
+        params, init_state, dones, xs, False, method="sequence")
+    np.testing.assert_allclose(
+        np.asarray(stepwise), np.asarray(seq_out), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_kernel_module_path_matches_twin():
+    """Force the kernel (interpret) through the module's fused path."""
+    from madrona_learn_tpu.models import GRU
+    import madrona_learn_tpu.models.attention as mattn
+    import madrona_learn_tpu.ops.pallas.gru as pgru
+
+    dtype = jnp.float32
+    N, T, H, F = 10, 6, 128, 16
+    gru = GRU(num_hidden_channels=H, num_layers=1, dtype=dtype,
+              use_pallas=True)
+
+    rng = np.random.default_rng(24)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.3)
+    init_state = gru.init_recurrent_state(N)
+    params = gru.init(jax.random.PRNGKey(1), init_state, xs[0], False)
+
+    twin = gru.apply(params, init_state, dones, xs, False,
+                     method="sequence")
+
+    orig_seq = pgru.gru_sequence
+    orig_ok = mattn._pallas_backend_ok
+    pgru.gru_sequence = lambda *a, **kw: orig_seq(*a, True)
+    mattn._pallas_backend_ok = lambda: True
+    try:
+        fused = gru.apply(params, init_state, dones, xs, False,
+                          method="sequence")
+    finally:
+        pgru.gru_sequence = orig_seq
+        mattn._pallas_backend_ok = orig_ok
+
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(twin),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("T,N,H", [(5, 70, 128), (3, 512, 128), (1, 9, 128)])
 def test_lstm_kernel_forward_matches_reference(T, N, H):
     from madrona_learn_tpu.ops.pallas.lstm import (
