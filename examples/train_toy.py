@@ -55,7 +55,9 @@ def main():
                 [obs["delta"], obs["time"]], axis=-1),
             encoder=RecurrentBackboneEncoder(
                 net=MLP(num_channels=256, num_layers=2, dtype=dtype),
-                rnn=LSTM(num_hidden_channels=256, num_layers=1, dtype=dtype),
+                # Fused Pallas BPTT kernel on TPU; jnp twin elsewhere.
+                rnn=LSTM(num_hidden_channels=256, num_layers=1, dtype=dtype,
+                         use_pallas=True),
             ),
         ),
         actor=DictActor(heads={

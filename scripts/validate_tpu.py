@@ -75,6 +75,32 @@ def main():
     results.append(check(
         "pallas fused LSTM sequence", err < 1e-4, f"max err {err:.2e}"))
 
+    from madrona_learn_tpu.ops.pallas.gru import (
+        gru_sequence, gru_sequence_reference)
+
+    xpg = jnp.asarray(rng.normal(size=(T, N, 3 * H)), jnp.float32)
+    whg = jnp.asarray(rng.normal(size=(H, 3 * H)) / np.sqrt(H), jnp.float32)
+    bhg = jnp.asarray(rng.normal(size=(H,)), jnp.float32)
+    err = float(jnp.max(jnp.abs(
+        gru_sequence(xpg, keep, whg, bhg, h0)
+        - gru_sequence_reference(xpg, keep, whg, bhg, h0))))
+    results.append(check(
+        "pallas fused GRU sequence", err < 1e-4, f"max err {err:.2e}"))
+
+    from madrona_learn_tpu.ops.pallas.attention import mha_flash
+
+    qf = jnp.asarray(rng.normal(size=(4, 256, 2, 32)), jnp.float32)
+    got = mha_flash(qf, qf, qf, valid_len=200)[:, :200]
+    want = mha_reference(qf, qf, qf, valid_len=200)[:, :200]
+    err = float(jnp.max(jnp.abs(got - want)))
+    # Looser bound than the single-pass kernels: the online-softmax
+    # accumulation rounds through TPU's bf16 matmul passes in a different
+    # order than the twin's single PV contraction (~1e-2 class); exact
+    # math is pinned at 1e-5 by the interpret-mode CPU tests.
+    results.append(check(
+        "pallas flash MHA (256 entities, masked)", err < 2e-2,
+        f"max err {err:.2e}"))
+
     # -- flagship entity-attention forward (rollout path -> pallas kernel) --
     import __graft_entry__
 
