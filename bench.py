@@ -164,6 +164,10 @@ def main():
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / PER_CHIP_TARGET, 3),
+        # Methodology marker: best of 3 x TIMED_UPDATES trials (see the
+        # noise note above); earlier recorded numbers (<= 11.14M) were
+        # single-trial.
+        "agg": "best_of_3x%d" % TIMED_UPDATES,
     }))
 
 

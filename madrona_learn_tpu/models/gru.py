@@ -45,28 +45,34 @@ class _PackedGRULayer(nn.Module):
         blocks = [init(k, (shape[0], cols), param_dtype) for k in keys]
         return jnp.concatenate(blocks, axis=-1)
 
-    @nn.compact
-    def __call__(self, h, x, x_proj=None):
-        input_kernel = self.param(
-            "input_kernel", self._orthogonal_3h,
-            (x.shape[-1] if x is not None else 1, 3 * self.hidden))
-        recurrent_kernel = self.param(
-            "recurrent_kernel", self._orthogonal_3h,
-            (self.hidden, 3 * self.hidden))
-        bias_i = self.param(
-            "bias_i", jax.nn.initializers.zeros, (3 * self.hidden,))
-        bias_h = self.param(
-            "bias_h", jax.nn.initializers.zeros, (self.hidden,))
+    def setup(self):
+        H = self.hidden
+        # Input projection as a lazily-shaped Dense (feature count is only
+        # known at first call); recurrent kernel + candidate-gate recurrent
+        # bias declared here (flax GRUCell's r/z recurrent denses have no
+        # bias).
+        self.input_proj = nn.Dense(
+            3 * H, use_bias=True, kernel_init=self._orthogonal_3h,
+            dtype=self.dtype, name="input_proj")
+        self.recurrent_kernel = self.param(
+            "recurrent_kernel", self._orthogonal_3h, (H, 3 * H))
+        self.bias_h = self.param(
+            "bias_h", jax.nn.initializers.zeros, (H,))
 
+    def __call__(self, h, x, x_proj=None):
         if x_proj is None:
             x_proj = self.project_input(x)
 
         f32 = jnp.float32
         H = self.hidden
-        wh = recurrent_kernel.astype(self.dtype)
+        wh = self.recurrent_kernel.astype(self.dtype)
         hp = jnp.dot(h.astype(self.dtype), wh, preferred_element_type=f32)
         xp = x_proj.astype(f32)
-        hn_lin = hp[..., 2 * H:] + bias_h.astype(f32)
+        # Round bias_h to the storage dtype first — the exact rounding
+        # point of the fused kernel and the jnp twin, so the single-step
+        # rollout forward and the sequence update forward agree bit-for-bit
+        # in bf16 (PPO ratios must start at 1).
+        hn_lin = hp[..., 2 * H:] + self.bias_h.astype(self.dtype).astype(f32)
         r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
         z = jax.nn.sigmoid(xp[..., H:2 * H] + hp[..., H:2 * H])
         n = jnp.tanh(xp[..., 2 * H:] + r * hn_lin)
@@ -75,17 +81,7 @@ class _PackedGRULayer(nn.Module):
 
     def project_input(self, x):
         """x @ W_i + b_i as one matmul (hoistable before the scan)."""
-        return (x.astype(self.dtype)
-                @ self.variables["params"]["input_kernel"].astype(self.dtype)
-                + self.variables["params"]["bias_i"].astype(self.dtype))
-
-    @property
-    def recurrent_kernel(self):
-        return self.variables["params"]["recurrent_kernel"]
-
-    @property
-    def bias_h(self):
-        return self.variables["params"]["bias_h"]
+        return self.input_proj(x)
 
 
 class GRU(nn.Module):
@@ -154,9 +150,12 @@ class GRU(nn.Module):
             bh = cell.bias_h.astype(self.dtype)
             h0 = start_hiddens[:, layer]
             if fused_ok:
+                # The fused kernel has no unroll knob (the whole time loop
+                # already lives in one pallas_call).
                 ys = gru_sequence(x_proj_seq, keep, wh, bh, h0)
             else:
-                ys = gru_sequence_reference(x_proj_seq, keep, wh, bh, h0)
+                ys = gru_sequence_reference(x_proj_seq, keep, wh, bh, h0,
+                                            unroll=self.seq_unroll)
             layer_in = ys
             outs.append(ys)
 

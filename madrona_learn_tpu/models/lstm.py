@@ -225,11 +225,14 @@ class LSTM(nn.Module):
             wr = cell.recurrent_kernel.astype(self.dtype)
             b = cell.bias.astype(self.dtype)
             if fused_ok:
+                # The fused kernel has no unroll knob (the whole time loop
+                # already lives in one pallas_call).
                 ys = lstm_sequence(
                     x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer])
             else:
                 ys = lstm_sequence_reference(
-                    x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer])
+                    x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer],
+                    unroll=self.seq_unroll)
             layer_in = ys
             outs.append(ys)
 

@@ -193,6 +193,9 @@ def _mha_flash_impl(q, k, v, valid_len, interpret):
     scale = 1.0 / (D ** 0.5)
     if valid_len is None:
         valid_len = S
+    # Same contract as mha: valid_len == 0 would make every score _NEG_INF
+    # and silently return a uniform average of V instead of failing.
+    assert 0 < valid_len <= S, (valid_len, S)
 
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, S, D)

@@ -252,7 +252,7 @@ def _gru_seq_bwd(interpret, residuals, dys):
 gru_sequence.defvjp(_gru_seq_fwd, _gru_seq_bwd)
 
 
-def gru_sequence_reference(x_proj, keep, wh, bias_h, h0):
+def gru_sequence_reference(x_proj, keep, wh, bias_h, h0, unroll=1):
     """jnp twin: identical math and rounding points, as a lax.scan."""
     f32 = jnp.float32
     dt = x_proj.dtype
@@ -264,5 +264,5 @@ def gru_sequence_reference(x_proj, keep, wh, bias_h, h0):
         mask = k[:, None] > 0.5
         return jnp.where(mask, new_h, jnp.zeros((), dt)), new_h
 
-    _, ys = lax.scan(step, h0, (x_proj, keep))
+    _, ys = lax.scan(step, h0, (x_proj, keep), unroll=unroll)
     return ys

@@ -317,7 +317,7 @@ def _lstm_seq_bwd(interpret, residuals, dys):
 lstm_sequence.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
 
 
-def lstm_sequence_reference(x_proj, keep, wr, bias, c0, h0):
+def lstm_sequence_reference(x_proj, keep, wr, bias, c0, h0, unroll=1):
     """jnp twin: identical math and rounding points, as a lax.scan."""
     f32 = jnp.float32
     dt = x_proj.dtype
@@ -339,5 +339,5 @@ def lstm_sequence_reference(x_proj, keep, wr, bias, c0, h0):
         return ((jnp.where(mask, new_c, zero),
                  jnp.where(mask, new_h, zero)), new_h)
 
-    _, ys = lax.scan(step, (c0, h0), (x_proj, keep))
+    _, ys = lax.scan(step, (c0, h0), (x_proj, keep), unroll=unroll)
     return ys

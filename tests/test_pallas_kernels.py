@@ -338,6 +338,45 @@ def test_gru_module_fused_matches_stepwise():
         np.asarray(stepwise), np.asarray(seq_out), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("family", ["lstm", "gru"])
+def test_recurrent_module_fused_matches_stepwise_bf16(family):
+    """bf16 + nonzero biases: the single-step (rollout) and fused-sequence
+    (update) forwards must agree bit-for-bit — rounding-point mismatches
+    (e.g. an unrounded fp32 bias on one path) only surface off-f32."""
+    from madrona_learn_tpu.models import GRU, LSTM
+
+    dtype = jnp.bfloat16
+    N, T, H, F = 6, 10, 128, 8
+    mod = (LSTM if family == "lstm" else GRU)(
+        num_hidden_channels=H, num_layers=1, dtype=dtype, use_pallas=True)
+
+    rng = np.random.default_rng(33)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.2)
+
+    init_state = mod.init_recurrent_state(N)
+    params = mod.init(jax.random.PRNGKey(0), init_state, xs[0], False)
+    # Nonzero biases (init is zeros, which would hide rounding bugs).
+    params = jax.tree.map(
+        lambda l: (jnp.asarray(
+            np.random.default_rng(34).normal(size=l.shape), l.dtype)
+            if l.ndim == 1 else l),
+        params)
+
+    state = init_state
+    outs = []
+    for t in range(T):
+        out, state = mod.apply(params, state, xs[t], False)
+        state = mod.clear_recurrent_state(state, dones[t])
+        outs.append(out)
+    stepwise = jnp.stack(outs)
+
+    seq_out = mod.apply(
+        params, init_state, dones, xs, False, method="sequence")
+    np.testing.assert_array_equal(np.asarray(stepwise, np.float32),
+                                  np.asarray(seq_out, np.float32))
+
+
 def test_gru_kernel_module_path_matches_twin():
     """Force the kernel (interpret) through the module's fused path."""
     from madrona_learn_tpu.models import GRU
