@@ -256,3 +256,146 @@ def test_gae_kernel_vs_scan_under_vmap():
         lambda r, v, d, b: gae_reference(0.99, 0.95, r, v, d, b))(r, v, d, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# -- grid patterns the fused sequence kernels rely on -------------------------
+
+def test_scratch_carry_across_innermost_grid_axis():
+    """VMEM scratch persists across the innermost grid axis (the fused
+    LSTM/GRU kernels keep their recurrent carry there): a running-sum
+    kernel over a (batch_tiles, T) grid must accumulate along T."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, F = 16, 5, 128
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(T, B, F)), jnp.float32)
+
+    def kernel(x_ref, o_ref, acc):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        acc[...] += x_ref[0]
+        o_ref[0] = acc[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(2, T),
+        in_specs=[pl.BlockSpec((1, B // 2, F), lambda b, t: (t, b, 0))],
+        out_specs=pl.BlockSpec((1, B // 2, F), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B, F), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B // 2, F), jnp.float32)],
+        interpret=True,
+    )(x)
+    want = jnp.cumsum(x, axis=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_reversed_time_index_map():
+    """Index maps may run the innermost grid axis backwards through the
+    array (the fused backward kernels read t = T-1-it): an exclusive
+    reverse cumsum written through a reversed map must match the jnp one."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, F = 8, 6, 128
+    x = jnp.asarray(
+        np.random.default_rng(12).normal(size=(T, B, F)), jnp.float32)
+
+    def kernel(T_, x_ref, o_ref, acc):
+        it = pl.program_id(1)
+
+        @pl.when(it == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        o_ref[0] = acc[...]          # exclusive: before adding step t
+        acc[...] += x_ref[0]
+
+    tmap = lambda b, t: (T - 1 - t, b, 0)
+    out = pl.pallas_call(
+        functools.partial(kernel, T),
+        grid=(1, T),
+        in_specs=[pl.BlockSpec((1, B, F), tmap)],
+        out_specs=pl.BlockSpec((1, B, F), tmap),
+        out_shape=jax.ShapeDtypeStruct((T, B, F), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, F), jnp.float32)],
+        interpret=True,
+    )(x)
+    # out[t] = sum of x[t+1:]
+    want = jnp.flip(jnp.cumsum(jnp.flip(x, 0), axis=0), 0) - x
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multi_output_pallas_call_with_mixed_specs():
+    """One pallas_call may emit outputs with different block shapes/maps
+    (the LSTM backward emits per-step dgates plus a once-per-tile dh0)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, F = 8, 4, 128
+    x = jnp.asarray(
+        np.random.default_rng(13).normal(size=(T, B, F)), jnp.float32)
+
+    def kernel(x_ref, per_step_ref, total_ref, acc):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        per_step_ref[0] = x_ref[0] * 2.0
+        acc[...] += x_ref[0]
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            total_ref[...] = acc[...]
+
+    per_step, total = pl.pallas_call(
+        kernel,
+        grid=(1, T),
+        in_specs=[pl.BlockSpec((1, B, F), lambda b, t: (t, b, 0))],
+        out_specs=[
+            pl.BlockSpec((1, B, F), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((B, F), lambda b, t: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, F), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, F), jnp.float32)],
+        interpret=True,
+    )(x)
+    np.testing.assert_allclose(np.asarray(per_step), np.asarray(x * 2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(total),
+                               np.asarray(jnp.sum(x, axis=0)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_online_softmax_state_machine():
+    """The mha_flash online-softmax update (running max/sum/acc rescaling
+    across kv chunks) matches a direct softmax when composed chunk by
+    chunk in plain jnp — pins the algebra the kernel implements."""
+    rng = np.random.default_rng(14)
+    S, D = 256, 32
+    s = jnp.asarray(rng.normal(size=(S,)), jnp.float32) * 5
+    v = jnp.asarray(rng.normal(size=(S, D)), jnp.float32)
+
+    m = jnp.float32(-1e30)
+    l = jnp.float32(0.0)
+    acc = jnp.zeros((D,), jnp.float32)
+    for start in range(0, S, 64):
+        sc = s[start:start + 64]
+        m_new = jnp.maximum(m, jnp.max(sc))
+        p = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p)
+        acc = acc * alpha + p @ v[start:start + 64]
+        m = m_new
+    got = acc / l
+    want = jax.nn.softmax(s) @ v
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
