@@ -851,7 +851,8 @@ class RolloutManager:
             unnormalized_bootstrap, user_state)
 
         if self._use_advantages:
-            if self._use_pallas_gae:
+            from .models.attention import _pallas_backend_ok
+            if self._use_pallas_gae and _pallas_backend_ok():
                 from .ops.pallas.gae import compute_advantages_pallas
 
                 advantages = compute_advantages_pallas(

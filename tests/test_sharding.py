@@ -162,6 +162,124 @@ def test_sharded_eval_elo_matches_single_device(eight_devices):
         np.asarray(mgr_out.state.policy_states.mmr.elo)).all()
 
 
+def test_pallas_gate_multi_device_rules(eight_devices, monkeypatch):
+    """Mosaic custom calls cannot be auto-partitioned (a multi-device GSPMD
+    jit containing one fails to compile), so the kernel gate must disable
+    the fused paths on multi-device processes unless the trace sits inside
+    a fully-manual shard_map."""
+    import madrona_learn_tpu.models.attention as mattn
+
+    # Pretend the backend is TPU so only the multi-device logic is probed.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert jax.config.jax_default_device is None
+
+    # 8 CPU devices, plain trace: gate OFF.
+    assert jax.device_count() == 8
+    assert not mattn._pallas_backend_ok()
+
+    # Single-device process: gate ON.
+    monkeypatch.setattr(jax, "device_count", lambda *a, **kw: 1)
+    assert mattn._pallas_backend_ok()
+    monkeypatch.undo()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # Explicit override for single-device jits on multi-chip hosts.
+    monkeypatch.setenv("MADRONA_LEARN_TPU_FORCE_PALLAS", "1")
+    assert mattn._pallas_backend_ok()
+    monkeypatch.delenv("MADRONA_LEARN_TPU_FORCE_PALLAS")
+
+    # Inside a shard_map manual over EVERY mesh axis: gate ON (each
+    # program instance is single-device, the case Mosaic supports).
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(eight_devices), ("data",))
+    seen = []
+
+    def body(x):
+        seen.append(mattn._pallas_backend_ok())
+        return x * 2
+
+    jax.shard_map(body, mesh=mesh, in_specs=P("data"),
+                  out_specs=P("data"))(jnp.ones((8,)))
+    assert seen == [True]
+
+    # Manual over only SOME axes of a 2-axis mesh: gate OFF (Mosaic
+    # rejects partially-manual contexts).
+    mesh2 = Mesh(np.asarray(eight_devices).reshape(4, 2),
+                 ("data", "policy"))
+    seen2 = []
+
+    def body2(x):
+        seen2.append(mattn._pallas_backend_ok())
+        return x * 2
+
+    jax.shard_map(body2, mesh=mesh2, in_specs=P("data"),
+                  out_specs=P("data"), axis_names={"data"})(jnp.ones((8,)))
+    assert seen2 == [False]
+
+
+def test_sharded_training_with_use_pallas_models(eight_devices):
+    """A data/policy-sharded update with use_pallas models + pallas GAE
+    enabled must compile and match (the gate falls back to the jnp twins
+    on multi-device traces instead of crashing Mosaic partitioning)."""
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+
+    num_worlds = 32
+    dtype = jnp.float32
+
+    def build(seed):
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=seed))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=RecurrentBackboneEncoder(
+                    net=MLP(num_channels=32, num_layers=1, dtype=dtype),
+                    rnn=LSTM(num_hidden_channels=128, num_layers=1,
+                             dtype=dtype, use_pallas=True))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=1,
+            actions=actions, steps_per_update=16, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=seed,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=num_worlds,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            mesh=mlt.MeshConfig(data=4, policy=1),
+            use_pallas_gae=True)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+    loss_single = np.asarray(
+        update(build(41)).metrics.metrics["Loss"].mean)
+
+    mesh = make_mesh(mlt.MeshConfig(data=4, policy=1), eight_devices[:4])
+    mgr_sharded = shard_training_manager(build(41), mesh)
+    loss_sharded = np.asarray(
+        update(mgr_sharded).metrics.metrics["Loss"].mean)
+
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_shard_local_reorder_reduces_collectives(eight_devices):
     """The shard-local reorder must compile to (near-)collective-free SPMD
     code under a data-sharded batch, while the global construction needs
