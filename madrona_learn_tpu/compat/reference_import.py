@@ -28,30 +28,36 @@ from __future__ import annotations
 
 from typing import Any, Mapping
 
-import jax.numpy as jnp
+import numpy as np
 
 _GATE_ORDER = ("i", "f", "g", "o")
 _REF_CELL_PREFIX = "OptimizedLSTMCell_"
 
 
-def _is_ref_lstm_cell(subtree: Mapping[str, Any]) -> bool:
-    return all(f"i{g}" in subtree and f"h{g}" in subtree
-               for g in _GATE_ORDER)
+def _is_ref_lstm_cell(subtree: Any) -> bool:
+    return (isinstance(subtree, Mapping)
+            and all(f"i{g}" in subtree and f"h{g}" in subtree
+                    for g in _GATE_ORDER))
 
 
 def _pack_ref_lstm_cell(cell: Mapping[str, Any]) -> dict:
-    input_kernel = jnp.concatenate(
-        [jnp.asarray(cell[f"i{g}"]["kernel"]) for g in _GATE_ORDER],
+    # np (host-side) on purpose: conversion is pure array shuffling over a
+    # possibly-large checkpoint; don't stage it onto an accelerator.
+    input_kernel = np.concatenate(
+        [np.asarray(cell[f"i{g}"]["kernel"]) for g in _GATE_ORDER],
         axis=-1)
-    recurrent_kernel = jnp.concatenate(
-        [jnp.asarray(cell[f"h{g}"]["kernel"]) for g in _GATE_ORDER],
+    recurrent_kernel = np.concatenate(
+        [np.asarray(cell[f"h{g}"]["kernel"]) for g in _GATE_ORDER],
         axis=-1)
-    bias = jnp.concatenate(
-        [jnp.asarray(cell[f"h{g}"]["bias"]) for g in _GATE_ORDER])
+    bias = np.concatenate(
+        [np.asarray(cell[f"h{g}"]["bias"]) for g in _GATE_ORDER])
     for g in _GATE_ORDER:  # the i-side denses are bias-free by design
-        assert "bias" not in cell[f"i{g}"], (
-            f"unexpected input-dense bias on gate {g}; the reference's "
-            "OptimizedLSTMCell has none (rnn.py:29-36)")
+        if "bias" in cell[f"i{g}"]:
+            raise ValueError(
+                f"unexpected input-dense bias on gate '{g}': the "
+                "reference's OptimizedLSTMCell has none (rnn.py:29-36); "
+                "this checkpoint came from a modified reference and would "
+                "lose those biases if packed")
     return {
         "input_proj": {"kernel": input_kernel},
         "recurrent_kernel": recurrent_kernel,
@@ -59,39 +65,35 @@ def _pack_ref_lstm_cell(cell: Mapping[str, Any]) -> dict:
     }
 
 
+def _is_ref_lstm_cell_container(value: Any) -> bool:
+    """The reference nests its per-layer cells one level deeper than we do
+    (``rnn/cell/OptimizedLSTMCell_<i>``): detect that exact container."""
+    return (isinstance(value, Mapping) and value
+            and all(isinstance(k, str) and k.startswith(_REF_CELL_PREFIX)
+                    and _is_ref_lstm_cell(v)
+                    for k, v in value.items()))
+
+
 def convert_reference_params(params: Any) -> Any:
     """Rewrite a reference param pytree into this framework's layout.
 
     Works on the ``{'params': ...}`` variables dict, a bare params dict,
     or any enclosing pytree (e.g. a whole policy-state dict); every
-    non-LSTM leaf passes through unchanged.
+    non-LSTM leaf passes through unchanged. The ``cell`` nesting level is
+    collapsed ONLY when it verifiably contains OptimizedLSTMCell subtrees
+    (our LSTM declares ``layer_<i>`` directly on the module).
     """
     if not isinstance(params, Mapping):
         return params
 
     converted = {}
-    cells = {}
     for key, value in params.items():
-        if (isinstance(key, str) and key.startswith(_REF_CELL_PREFIX)
-                and isinstance(value, Mapping) and _is_ref_lstm_cell(value)):
-            layer_idx = int(key[len(_REF_CELL_PREFIX):])
-            cells[f"layer_{layer_idx}"] = _pack_ref_lstm_cell(value)
+        if key == "cell" and _is_ref_lstm_cell_container(value):
+            for cell_key, cell in value.items():
+                layer_idx = int(cell_key[len(_REF_CELL_PREFIX):])
+                converted[f"layer_{layer_idx}"] = _pack_ref_lstm_cell(cell)
         else:
             converted[key] = convert_reference_params(value)
-
-    if cells:
-        # The reference nests its cells one level deeper (rnn/cell/...);
-        # splice the packed layers into the parent so they land at
-        # rnn/layer_<i> once the caller collapses the 'cell' level below.
-        converted.update(cells)
-
-    # Collapse the reference's extra 'cell' nesting: {'cell': {layer_...}}
-    # -> {layer_...} (our LSTM declares layers directly on the module).
-    if (set(converted.keys()) == {"cell"}
-            and isinstance(converted["cell"], Mapping)
-            and all(k.startswith("layer_") for k in converted["cell"])):
-        return dict(converted["cell"])
-
     return converted
 
 

@@ -25,40 +25,10 @@ from flax import linen as nn
 from .common import LayerNorm
 
 
-def _pallas_backend_ok() -> bool:
-    """Whether the compiled Pallas kernels can serve the current trace.
-
-    Three conditions, each load-bearing:
-
-    1. A real TPU backend (honor an explicitly pinned default device first —
-       ``jax.default_backend()`` reports the primary backend even when
-       computation is pinned elsewhere, e.g. CPU-mesh dryruns).
-    2. Single-device process, OR the trace is inside a shard_map that is
-       manual over EVERY mesh axis. Mosaic custom calls cannot be
-       automatically partitioned: a multi-device GSPMD jit containing one
-       fails to compile ("wrap the call in a shard_map",
-       jax/_src/tpu_custom_call.py), so on multi-chip meshes the models
-       fall back to the jnp twins — same math, partitionable — unless the
-       caller runs the step under a fully-manual shard_map.
-       ``MADRONA_LEARN_TPU_FORCE_PALLAS=1`` overrides for single-device
-       jits inside multi-chip processes.
-    """
-    import os
-
-    dev = jax.config.jax_default_device
-    if dev is not None:
-        tpu = getattr(dev, "platform", None) == "tpu"
-    else:
-        tpu = jax.default_backend() == "tpu"
-    if not tpu:
-        return False
-    if jax.device_count() == 1:
-        return True
-    if os.environ.get("MADRONA_LEARN_TPU_FORCE_PALLAS") == "1":
-        return True
-    mesh = jax.sharding.get_abstract_mesh()
-    manual = set(getattr(mesh, "manual_axes", ()))
-    return bool(mesh.axis_names) and manual == set(mesh.axis_names)
+# The shared kernel-routing gate lives in ops/pallas/runtime.py; model
+# call sites (and rollouts' GAE routing) import THIS alias so tests and
+# benchmarks keep one monkeypatch point.
+from ..ops.pallas.runtime import pallas_backend_ok as _pallas_backend_ok
 
 
 class SelfAttention(nn.Module):

@@ -24,31 +24,38 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.use_pallas:
+        from ..ops.pallas.runtime import pallas_backend_ok
+
+        # Gate like every kernel (single-device TPU or fully-manual
+        # shard_map; jnp/flax fallback elsewhere — Mosaic custom calls
+        # can't be auto-partitioned, docs/kernels.md). Both branches
+        # create the SAME param tree (``impl/{scale,bias}``): the PPO
+        # update renormalizes those parameters by path (ppo.py
+        # renorm_layernorms), and checkpoints must stay interchangeable
+        # across the gate.
+        if self.use_pallas and pallas_backend_ok():
             from ..ops.pallas.layer_norm import layer_norm as pl_layer_norm
 
-            dim = x.shape[-1]
-            scale = self.param(
-                "scale", jax.nn.initializers.constant(1), (dim,), jnp.float32)
-            bias = self.param(
-                "bias", jax.nn.initializers.constant(0), (dim,), jnp.float32)
-            inner = _PallasLNShim(scale=scale, bias=bias, fn=pl_layer_norm)
-            return inner(x)
+            return _PallasLNImpl(fn=pl_layer_norm, name="impl")(x)
         with jax.numpy_dtype_promotion("standard"):
             return nn.LayerNorm(name="impl", dtype=self.dtype)(x)
 
 
-class _PallasLNShim(nn.Module):
-    """Adapter keeping the pallas layer-norm under the ``impl`` param scope."""
+class _PallasLNImpl(nn.Module):
+    """Pallas layer-norm owning its params under the ``impl`` scope, with
+    flax ``nn.LayerNorm``'s exact param names/shapes/init."""
 
-    scale: jax.Array
-    bias: jax.Array
     fn: Callable
 
     @nn.compact
     def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale", jax.nn.initializers.constant(1), (dim,), jnp.float32)
+        bias = self.param(
+            "bias", jax.nn.initializers.constant(0), (dim,), jnp.float32)
         orig_shape = x.shape
-        out = self.fn(x.reshape(-1, orig_shape[-1]), self.scale, self.bias)
+        out = self.fn(x.reshape(-1, dim), scale, bias)
         return out.reshape(orig_shape).astype(x.dtype)
 
 

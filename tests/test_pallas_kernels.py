@@ -522,3 +522,35 @@ def test_lstm_kernel_module_path_matches_twin():
 
     np.testing.assert_allclose(np.asarray(fused), np.asarray(twin),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_module_param_structure_invariant():
+    """LayerNorm(use_pallas=True) must create flax's exact param tree
+    (impl/{scale,bias}): checkpoints stay interchangeable across the
+    kernel gate and PPO's renorm_layernorms reads those paths by name."""
+    import madrona_learn_tpu.ops.pallas.layer_norm as pln
+    import madrona_learn_tpu.ops.pallas.runtime as prt
+    from madrona_learn_tpu.models.common import LayerNorm
+
+    orig_ln = pln.layer_norm
+    orig_ok = prt.pallas_backend_ok
+    pln.layer_norm = lambda *a, **kw: orig_ln(*a, **{**kw, "interpret": True})
+    prt.pallas_backend_ok = lambda: True
+    try:
+        x = jnp.asarray(
+            np.random.default_rng(50).normal(size=(6, 128)), jnp.float32)
+        p_pallas = LayerNorm(dtype=jnp.float32, use_pallas=True).init(
+            jax.random.PRNGKey(0), x)
+        p_flax = LayerNorm(dtype=jnp.float32, use_pallas=False).init(
+            jax.random.PRNGKey(0), x)
+        assert (jax.tree.structure(p_pallas)
+                == jax.tree.structure(p_flax)), (p_pallas, p_flax)
+
+        got = LayerNorm(dtype=jnp.float32, use_pallas=True).apply(p_flax, x)
+        want = LayerNorm(dtype=jnp.float32, use_pallas=False).apply(
+            p_flax, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        pln.layer_norm = orig_ln
+        prt.pallas_backend_ok = orig_ok

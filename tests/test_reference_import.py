@@ -8,6 +8,7 @@ trained policy actually needs. Also round-trips a real reference orbax
 checkpoint directory through ``import_reference_checkpoint``.
 """
 
+import os
 import sys
 
 import jax
@@ -16,6 +17,9 @@ import numpy as np
 import pytest
 
 REF_SRC = "/root/reference/src"
+
+if not os.path.isdir(REF_SRC):
+    pytest.skip("reference tree unavailable", allow_module_level=True)
 
 # Pure aliases for the reference's older-API calls (no behavior change).
 if not hasattr(jax, "tree_map"):
