@@ -198,3 +198,42 @@ def test_import_reference_checkpoint_roundtrip(tmp_path):
     direct = convert_reference_params(ref_vars)
     for a, b in zip(jax.tree.leaves(converted), jax.tree.leaves(direct)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_obs_normalizer_state_migrates_unchanged():
+    """The EMA observation-normalizer state trees are key-for-key
+    identical between frameworks (ops/ema.py mirrors the reference's
+    moving_avg semantics), so convert_reference_params passes them
+    through and OUR preprocess reproduces the reference's normalized
+    observations on a reference-trained state."""
+    sys.path.insert(0, REF_SRC)
+    import madrona_learn as ml
+
+    import madrona_learn_tpu as mlt
+    from madrona_learn_tpu.compat import convert_reference_params
+
+    rng = np.random.default_rng(11)
+    obs = {
+        "delta": jnp.asarray(rng.normal(size=(16, 2)), jnp.float32),
+        "time": jnp.asarray(rng.normal(size=(16, 1)), jnp.float32),
+    }
+
+    ref = ml.ObservationsEMANormalizer.create(
+        decay=0.99, dtype=jnp.float32)
+    ours = mlt.ObservationsEMANormalizer.create(
+        decay=0.99, dtype=jnp.float32)
+
+    # "Train" the reference normalizer: accumulate a batch of stats.
+    state = ref.init_state(obs, vmap=False)
+    stats = ref.init_obs_stats(state, vmap=False)
+    stats = ref.update_obs_stats(state, stats, 1, obs, vmap=False)
+    state = ref.update_state(state, stats, vmap=False)
+
+    migrated = convert_reference_params(jax.device_get(state))
+    ref_out = ref.preprocess(state, obs, vmap=False)
+    our_out = ours.preprocess(migrated, obs, vmap=False)
+
+    for key in obs:
+        np.testing.assert_allclose(
+            np.asarray(ref_out[key]), np.asarray(our_out[key]),
+            rtol=1e-6, atol=1e-6, err_msg=key)
