@@ -28,6 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache (same policy as bench.py): repeat suite
+# runs skip recompiling the big programs (config #4's first Elo
+# tournament alone compiles for ~100 s).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import madrona_learn_tpu as mlt
 from madrona_learn_tpu.envs import ToyEnvConfig, make_duel_env, make_toy_env
 from madrona_learn_tpu.models import (
