@@ -49,18 +49,20 @@ _BLOCK_N_OVERRIDE = None
 
 
 def _block_n(hidden, n):
-    # Batch-tile size, swept on v5e. BN>=1024 blows scoped VMEM in the
-    # backward (~27MB vs the 16MB limit: double-buffered [1, BN, 4H]
-    # streams + [BN, 4H] fp32 gate intermediates). Between 256 and 512
-    # the ISOLATED module bench favors 256 at N=8192 (6.2 vs 8.3 ms,
-    # benchmarks/lstm_bench.py --sweep-block) but INSIDE the full PPO
-    # update BN=512 is consistently ~2% faster end-to-end (3-trial A/B at
-    # the headline bench shape) — trust the in-context number; 256 only
-    # for small batches where 512 would mostly be padding.
+    # Batch-tile size, swept on v5e at H=256. The backward's scoped-VMEM
+    # working set scales with BN*H (double-buffered [1, BN, 4H] streams +
+    # [BN, 4H] fp32 gate intermediates): BN*H >= 256k blows the 16MB limit
+    # (~27MB at H=256/BN=1024; ~25MB at H=512/BN=512), so cap BN*H at
+    # 128k. Between 256 and 512 at H=256 the ISOLATED module bench favors
+    # 256 at N=8192 (6.2 vs 8.3 ms, benchmarks/lstm_bench.py
+    # --sweep-block) but INSIDE the full PPO update BN=512 is consistently
+    # ~2% faster end-to-end (3-trial A/B at the headline bench shape) —
+    # trust the in-context number; 256 only for small batches where 512
+    # would mostly be padding.
     if _BLOCK_N_OVERRIDE is not None:
         return _BLOCK_N_OVERRIDE
-    del hidden
-    return 256 if n <= 256 else 512
+    cap = min(512, max(128, (128 * 1024) // max(hidden, 1)))
+    return min(cap, 256) if n <= 256 else cap
 
 
 def lstm_supported(hidden, dtype):
