@@ -14,9 +14,12 @@ env-steps/s @ v5e-16 target (62_500 env-steps/s per chip).
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import jax
+import jax.extend.backend
 import jax.numpy as jnp
 
 # Persistent compilation cache: repeat runs (and the CPU-side init programs)
@@ -127,8 +130,50 @@ def build_manager(dtype):
         init_on_cpu=(jax.default_backend() != "cpu"))
 
 
-def main():
-    backend = jax.default_backend()
+def acquire_backend(max_wait_s=None, initial_delay_s=5.0):
+    """Initialize the JAX backend, retrying with exponential backoff.
+
+    First TPU contact over the tunnel on this box intermittently takes
+    minutes or fails transiently with UNAVAILABLE (TODO.md records a 375s
+    cold start); a single failed `jax.devices()` must not erase the round's
+    perf record. JAX caches backend-init *failures*, so each retry clears
+    the backend cache before re-attempting.
+
+    Returns the backend platform name. Raises the last error only after
+    the deadline (caller converts it to a JSON error record).
+    """
+    if max_wait_s is None:
+        max_wait_s = float(
+            os.environ.get("MADRONA_LEARN_TPU_BENCH_INIT_WAIT", 480.0))
+    deadline = time.monotonic() + max_wait_s
+    delay = initial_delay_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            jax.devices()
+            return jax.default_backend()
+        except Exception as err:  # noqa: BLE001 — UNAVAILABLE surfaces
+            # as RuntimeError/XlaRuntimeError subclasses; retry them all.
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise
+            print(
+                f"bench: backend init attempt {attempt} failed "
+                f"({type(err).__name__}: {err}); retrying in {delay:.0f}s "
+                f"({remaining:.0f}s left)",
+                file=sys.stderr,
+            )
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:  # noqa: BLE001 — best-effort cache clear
+                pass
+            time.sleep(min(delay, max(remaining, 0.0)))
+            delay = min(delay * 2.0, 120.0)
+
+
+def run_bench():
+    backend = acquire_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
 
     mgr = build_manager(dtype)
@@ -168,8 +213,44 @@ def main():
         # noise note above); earlier recorded numbers (<= 11.14M) were
         # single-trial.
         "agg": "best_of_3x%d" % TIMED_UPDATES,
+        "backend": backend,
     }))
 
 
+def main():
+    """Run the bench; on any failure emit a parseable JSON error record.
+
+    The driver records (rc, last JSON line); a raw traceback + rc=1 loses
+    the round's perf evidence (it did in round 2 — BENCH_r02.json). One
+    full retry after a backend-cache clear covers mid-run backend deaths;
+    the persistent compilation cache makes the retry cheap.
+    """
+    attempts = 2
+    for attempt in range(attempts):
+        try:
+            run_bench()
+            return 0
+        except Exception as err:  # noqa: BLE001 — convert to JSON record
+            last_err = err
+            traceback.print_exc(file=sys.stderr)
+            if attempt + 1 < attempts:
+                print("bench: run failed; clearing backends and retrying "
+                      "once", file=sys.stderr)
+                try:
+                    jax.extend.backend.clear_backends()
+                except Exception:  # noqa: BLE001
+                    pass
+                time.sleep(float(
+                    os.environ.get("MADRONA_LEARN_TPU_BENCH_RETRY_WAIT", 30)))
+    print(json.dumps({
+        "metric": "ppo_env_steps_per_s_per_chip",
+        "value": None,
+        "unit": "env-steps/s",
+        "vs_baseline": None,
+        "error": f"{type(last_err).__name__}: {last_err}",
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

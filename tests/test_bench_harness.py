@@ -1,0 +1,66 @@
+"""bench.py harness robustness: a backend-init failure must still produce
+one parseable JSON record (the driver records only rc + last JSON line;
+round 2's perf evidence was lost to an unretried UNAVAILABLE at first TPU
+contact — see VERDICT.md round 2 item 1).
+
+Methodology being protected: reference tests/ac_test.py:355-369
+(AOT-compile-then-time), which assumes the backend simply exists.
+"""
+
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench_module(monkeypatch):
+    monkeypatch.setenv("MADRONA_LEARN_TPU_BENCH_INIT_WAIT", "0")
+    monkeypatch.setenv("MADRONA_LEARN_TPU_BENCH_RETRY_WAIT", "0")
+    sys.modules.pop("bench", None)
+    import bench
+
+    return bench
+
+
+def test_backend_failure_emits_json_error_record(
+        bench_module, monkeypatch, capsys):
+    import jax
+
+    def boom():
+        raise RuntimeError("UNAVAILABLE: tunnel down")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    rc = bench_module.main()
+    assert rc == 0
+
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    record = json.loads(lines[-1])
+    assert record["metric"] == "ppo_env_steps_per_s_per_chip"
+    assert record["value"] is None
+    assert "UNAVAILABLE" in record["error"]
+
+
+def test_acquire_backend_retries_then_succeeds(bench_module, monkeypatch):
+    import jax
+    import jax.extend.backend
+
+    calls = {"n": 0}
+    real_devices = jax.devices
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("UNAVAILABLE: cold tunnel")
+        return real_devices()
+
+    monkeypatch.setattr(jax, "devices", flaky)
+    # clear_backends would drop the live CPU backend mid-test; the retry
+    # loop treats a failing clear as best-effort, so stub it out.
+    monkeypatch.setattr(
+        jax.extend.backend, "clear_backends",
+        lambda: (_ for _ in ()).throw(RuntimeError("stubbed")))
+    backend = bench_module.acquire_backend(
+        max_wait_s=30.0, initial_delay_s=0.01)
+    assert backend == jax.default_backend()
+    assert calls["n"] == 3
