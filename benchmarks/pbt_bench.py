@@ -71,3 +71,37 @@ dt = time.perf_counter()-t0
 steps = NUM_WORLDS*2*STEPS*10
 print(f"PBT {NUM_TRAIN}+{NUM_PAST} policies, {NUM_WORLDS*2} agents: "
       f"{steps/dt/1e6:.2f}M agent-steps/s ({dt/10*1e3:.0f} ms/update)", flush=True)
+
+# --- Elo tournament-step micro-bench (32 policies) -------------------------
+# The per-step cost inside eval_elo's rollout loop; round 3 replaced the
+# per-policy scan-every-match formulation with a one-hot segment reduction.
+from madrona_learn_tpu.pbt import PBTMatchmakeConfig, pbt_update_elo
+
+P_ELO = 32
+mm = PBTMatchmakeConfig.setup(
+    num_current_policies=P_ELO, num_past_policies=0, num_teams=2, team_size=1,
+    sim_batch_size=NUM_WORLDS * 2, self_play_portion=0.0,
+    cross_play_portion=1.0, past_play_portion=0.0, static_play_portion=0.0)
+rng = np.random.default_rng(0)
+M = mm.num_total_matches
+asn = jnp.asarray(np.repeat(rng.integers(0, P_ELO, (M, 2)), 1, 1).reshape(-1))
+dns = jnp.asarray((rng.random(M * 2) < 0.1).reshape(-1, 1))
+ers = jnp.asarray(rng.integers(0, 3, (M, 1)).astype(np.int32))
+elos = jnp.full((P_ELO,), 1500.0, jnp.float32)
+get_scores = lambda er: (
+    jnp.where(er[0] == 0, 1.0, jnp.where(er[0] == 1, 0.0, 0.5)),
+    jnp.where(er[0] == 0, 0.0, jnp.where(er[0] == 1, 1.0, 0.5)))
+
+elo_step = jax.jit(lambda a, d, e, el: pbt_update_elo(
+    get_scores, a, d, e, el, mm))
+t0 = time.perf_counter()
+out = elo_step(asn, dns, ers, elos)
+jax.block_until_ready(out)
+print(f"elo-step compile {time.perf_counter()-t0:.2f}s", flush=True)
+t0 = time.perf_counter()
+for _ in range(50):
+    out = elo_step(asn, dns, ers, out)
+jax.device_get(out)
+dt = (time.perf_counter() - t0) / 50
+print(f"elo update step ({P_ELO} policies, {M} matches): {dt*1e6:.0f} us",
+      flush=True)

@@ -229,123 +229,119 @@ def elo_expected_result(my_elo, opponent_elo):
 
 
 def _convert_custom_policy_ids(assignments, mm_cfg):
-    for i, custom_id in enumerate(mm_cfg.custom_policy_ids):
-        assignments = jnp.where(
-            assignments == custom_id,
-            i + mm_cfg.total_num_policies,
-            assignments)
-    return assignments
+    """Remap caller-defined custom policy ids to slots past the Elo table.
+
+    Vectorized over the static tuple of custom ids: one equality mask per
+    call instead of a rewrite chain.
+    """
+    if not mm_cfg.custom_policy_ids:
+        return assignments
+    custom = jnp.asarray(mm_cfg.custom_policy_ids, assignments.dtype)
+    eq = assignments[..., None] == custom  # [..., num_custom]
+    remap = (jnp.argmax(eq, axis=-1) + mm_cfg.total_num_policies).astype(
+        assignments.dtype)
+    return jnp.where(jnp.any(eq, axis=-1), remap, assignments)
 
 
 def pbt_update_elo(get_episode_scores_fn, assignments, dones, episode_results,
                    policy_elos, mm_cfg: PBTMatchmakeConfig):
     """Incremental Elo (K=1) from per-world episode results.
 
-    Two-team only. For each policy, sum (score - expected_score) over finished
-    matches it participated in; matches where both teams run the same policy
-    are skipped.
+    Two-team only (capability parity: reference pbt.py:273-343). TPU-native
+    formulation: each finished match's (score - expected_score) is computed
+    once for both sides, then segment-reduced into per-policy deltas through
+    a one-hot select-reduce over the [matches, policies] mask — a single
+    batched reduction instead of policies x matches conditionals. Matches
+    where both teams run the same policy are skipped.
     """
     assert mm_cfg.num_teams == 2
+    num_policies = policy_elos.shape[0]
 
     assignments = _convert_custom_policy_ids(assignments, mm_cfg)
     assignments = assignments.reshape(
-        mm_cfg.num_total_matches, mm_cfg.num_teams, mm_cfg.team_size, 1)
-    dones = dones.reshape(assignments.shape)
+        mm_cfg.num_total_matches, mm_cfg.num_teams, mm_cfg.team_size)
+    dones = dones.reshape(
+        mm_cfg.num_total_matches, mm_cfg.num_teams, mm_cfg.team_size, -1)
 
-    a_assign = assignments[:, 0, 0, 0]
-    b_assign = assignments[:, 1, 0, 0]
-    match_done = dones[:, 0, 0, :]
+    a = assignments[:, 0, 0]
+    b = assignments[:, 1, 0]
+    valid = jnp.logical_and(dones[:, 0, 0, 0], a != b)
 
-    def update_one(policy_idx, cur_elo):
-        @jax.vmap
-        def diff_per_match(episode_result, a, b, done):
-            is_a = a == policy_idx
-            is_b = b == policy_idx
-            valid = jnp.logical_and(
-                jnp.logical_and(jnp.logical_or(is_a, is_b), done),
-                a != b).squeeze(axis=0)
+    a_scores, b_scores = jax.vmap(get_episode_scores_fn)(episode_results)
+    # Out-of-table ids (converted custom policies) clamp in the gather; the
+    # one-hot mask below zeroes their contribution to the update, so only
+    # real table rows ever move.
+    elo_a = policy_elos[a]
+    elo_b = policy_elos[b]
+    diff_a = jnp.where(
+        valid, a_scores - elo_expected_result(elo_a, elo_b), 0.0)
+    diff_b = jnp.where(
+        valid, b_scores - elo_expected_result(elo_b, elo_a), 0.0)
 
-            def compute():
-                a_score, b_score = get_episode_scores_fn(episode_result)
-                a_elo = policy_elos[a]
-                b_elo = policy_elos[b]
-                my_score = jnp.where(is_a, a_score, b_score)
-                my_elo = jnp.where(is_a, a_elo, b_elo)
-                opp_elo = jnp.where(is_a, b_elo, a_elo)
-                return my_score - elo_expected_result(my_elo, opp_elo)
-
-            return lax.cond(valid, compute,
-                            lambda: jnp.zeros((), jnp.float32))
-
-        diffs = diff_per_match(episode_results, a_assign, b_assign, match_done)
-        K = 1.0
-        return cur_elo + K * diffs.sum()
-
-    return jax.vmap(update_one)(
-        jnp.arange(policy_elos.shape[0]), policy_elos)
+    pids = jnp.arange(num_policies)
+    contrib = (jnp.where(a[:, None] == pids[None, :], diff_a[:, None], 0.0)
+               + jnp.where(b[:, None] == pids[None, :], diff_b[:, None], 0.0))
+    K = 1.0
+    return policy_elos + K * jnp.sum(contrib, axis=0)
 
 
 def pbt_update_fitness(assignments, policy_states, dones, episode_results,
                        mm_cfg: PBTMatchmakeConfig):
     """EMA episode-score fitness for non-competitive populations.
 
-    Single-team only. Each finished episode's score feeds a decayed mean/var
-    estimate per policy (weighted Chan update over the batch of finished
-    episodes; reference: pbt.py:382-470).
+    Single-team only (capability parity: reference pbt.py:382-471, the
+    decayed weighted Chan mean/var merge). TPU-native formulation: episode
+    scores are computed once, per-policy count/mean/var come from masked
+    one-hot reductions (two-pass variance), and the decay-weighted merge
+    runs elementwise over the whole policy axis at once.
     """
     assert mm_cfg.num_teams == 1
     assert policy_states.mmr is None and policy_states.episode_score is not None
+
+    cur = policy_states.episode_score
+    num_policies = cur.mean.shape[0]
 
     assignments = assignments.reshape(
         mm_cfg.num_total_matches, mm_cfg.team_size)[:, 0]
     dones = dones.reshape(mm_cfg.num_total_matches, mm_cfg.team_size)[:, 0]
 
+    scores = jax.vmap(policy_states.get_episode_scores_fn)(
+        episode_results).astype(jnp.float32)
+
+    onehot = jnp.logical_and(
+        assignments[:, None] == jnp.arange(num_policies)[None, :],
+        dones[:, None])                                        # [M, P]
+    x_n = jnp.sum(onehot, axis=0, dtype=cur.N.dtype)           # [P]
+    x_nf = x_n.astype(jnp.float32)
+    x_mean = (jnp.sum(jnp.where(onehot, scores[:, None], 0.0), axis=0)
+              / jnp.maximum(x_nf, 1.0))
+    sq_dev = jnp.square(scores[:, None] - x_mean[None, :])
+    x_ssd = jnp.sum(jnp.where(onehot, sq_dev, 0.0), axis=0)
+    x_var = jnp.where(x_n > 1, x_ssd / jnp.maximum(x_nf - 1.0, 1.0), 0.0)
+
     ema_decay = 0.9999
+    mean_delta = x_mean - cur.mean
+    cur_weight = jnp.expm1(x_nf * jnp.log(ema_decay)) + 1.0
+    x_weight = 1.0 - cur_weight
 
-    def update_one(policy_idx, cur):
-        @jax.vmap
-        def get_scores(episode_result, assignment, done):
-            is_valid = jnp.logical_and(done, assignment == policy_idx)
-            return lax.cond(
-                is_valid,
-                lambda er: (policy_states.get_episode_scores_fn(er), True),
-                lambda er: (jnp.float32(0), False),
-                episode_result)
+    n_max = jnp.iinfo(cur.N.dtype).max
+    new_n = jnp.where(x_n > n_max - cur.N, n_max, cur.N + x_n)
 
-        x_scores, valids = get_scores(episode_results, assignments, dones)
-        x_n = valids.sum()
+    cross = jnp.where(
+        cur.N > 0,
+        cur.N.astype(jnp.float32)
+        / jnp.maximum((new_n - 1).astype(jnp.float32), 1.0)
+        * (cur_weight * x_weight) * jnp.square(mean_delta),
+        0.0)
+    new_mean = cur_weight * cur.mean + x_weight * x_mean
+    new_var = cur_weight * cur.var + x_weight * x_var + cross
 
-        def apply(cur):
-            x_mean = jnp.mean(x_scores, where=valids)
-            x_var = lax.cond(
-                x_n > 1,
-                lambda: jnp.var(x_scores, where=valids, ddof=1),
-                lambda: jnp.float32(0))
-
-            mean_delta = x_mean - cur.mean
-            cur_weight = jnp.expm1(
-                x_n.astype(jnp.float32) * jnp.log(ema_decay)) + 1
-            x_weight = 1 - cur_weight
-
-            n_max = jnp.iinfo(cur.N.dtype).max
-            cur_n = cur.N
-            new_n = jnp.where(x_n > n_max - cur_n, n_max, cur_n + x_n)
-
-            def cross_term():
-                scale = cur_n.astype(jnp.float32) / (
-                    (new_n - 1).astype(jnp.float32))
-                return scale * (cur_weight * x_weight) * jnp.square(mean_delta)
-
-            new_mean = cur_weight * cur.mean + x_weight * x_mean
-            new_var = (cur_weight * cur.var + x_weight * x_var +
-                       lax.cond(cur_n > 0, cross_term, lambda: jnp.float32(0)))
-            return cur.replace(mean=new_mean, var=new_var, N=new_n)
-
-        return lax.cond(x_n > 0, apply, lambda c: c, cur)
-
-    new_scores = jax.vmap(update_one)(
-        jnp.arange(policy_states.episode_score.mean.shape[0]),
-        policy_states.episode_score)
+    has_data = x_n > 0
+    new_scores = cur.replace(
+        mean=jnp.where(has_data, new_mean, cur.mean),
+        var=jnp.where(has_data, new_var, cur.var),
+        N=jnp.where(has_data, new_n, cur.N),
+    )
     return policy_states.update(episode_score=new_scores)
 
 
