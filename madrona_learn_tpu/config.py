@@ -116,6 +116,17 @@ class MeshConfig:
     data: int = 1
     policy: int = 1
     model: int = 1
+    # Run the learn phase as a manual shard_map region (data+policy axes)
+    # instead of GSPMD. Semantics are identical (global minibatch
+    # composition; gradients/losses psum over data), but the region's trace
+    # is manual over every mesh axis, so the Mosaic kernels (fused
+    # LSTM/GRU sequence, entity attention, layer norm) stay routed on
+    # multi-chip meshes — GSPMD cannot partition a Mosaic custom call, so
+    # on the GSPMD path they fall back to jnp twins. Auto-disabled for
+    # configurations the manual region does not support (model-axis TP,
+    # fp16 dynamic loss scaling, advantage filtering / importance
+    # sampling, non-dividing minibatch/population sizes).
+    manual_learn: bool = True
 
     @property
     def num_devices(self) -> int:

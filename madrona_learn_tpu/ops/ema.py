@@ -124,12 +124,18 @@ class EMANormalizer:
             return {}
         return jnp.zeros_like(est["mu"]), jnp.zeros_like(est["mu"])
 
-    def update_input_stats(self, cur_stats, num_prev_updates, x):
+    def update_input_stats(self, cur_stats, num_prev_updates, x,
+                           axis_name=None):
         """Merge one batch of data into running (mean, var) accumulators.
 
         Each prior update and the new batch get equal weight, so after k calls
         the accumulators hold the mean/var of the union of all k batches
         (assuming equal batch sizes), per Chan's parallel update.
+
+        With ``axis_name`` (inside a shard_map region where ``x`` is this
+        shard's equal-sized slice of the batch), the batch moments are the
+        exact global ones: mean of shard means, and the grouped variance
+        ``pmean(local_var + (local_mean - global_mean)^2)``.
         """
         if self.disable:
             return {}
@@ -139,8 +145,15 @@ class EMANormalizer:
         reduce_axes = tuple(range(x.ndim - 1))
 
         b_mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
-        b_var = jnp.mean(
-            jnp.square(x - b_mean), axis=reduce_axes, dtype=jnp.float32)
+        if axis_name is None:
+            b_var = jnp.mean(
+                jnp.square(x - b_mean), axis=reduce_axes, dtype=jnp.float32)
+        else:
+            b_mean = lax.pmean(b_mean, axis_name)
+            b_var = lax.pmean(
+                jnp.mean(jnp.square(x - b_mean), axis=reduce_axes,
+                         dtype=jnp.float32),
+                axis_name)
 
         delta = b_mean - a_mean
         b_weight = jnp.reciprocal(jnp.float32(num_prev_updates + 1))
@@ -199,9 +212,10 @@ class EMANormalizer:
             N=new_n,
         )
 
-    def normalize_and_update_estimates(self, est, inputs):
+    def normalize_and_update_estimates(self, est, inputs, axis_name=None):
         if self.disable:
             return inputs
-        stats = self.update_input_stats(self.init_input_stats(est), 0, inputs)
+        stats = self.update_input_stats(
+            self.init_input_stats(est), 0, inputs, axis_name=axis_name)
         est = self.update_estimates(est, stats)
         return est, self.normalize(est, inputs)

@@ -83,8 +83,24 @@ def compute_advantages(gamma, gae_lambda, rewards, values, dones,
     return advantages.reshape(C, TC, P, B, 1)
 
 
-def zscore_data(data):
-    """Z-score normalize in float32; variance floored at 1e-5."""
-    mean = jnp.mean(data, dtype=jnp.float32).astype(data.dtype)
-    var = jnp.var(data, dtype=jnp.float32).astype(data.dtype)
+def zscore_data(data, axis_name=None):
+    """Z-score normalize in float32; variance floored at 1e-5.
+
+    With ``axis_name`` (inside a shard_map region where ``data`` holds this
+    shard's slice of the batch), the moments are the exact global ones:
+    mean of equal-sized shard means, and the two-pass variance around the
+    global mean — matching the single-device formula under any equal
+    partitioning.
+    """
+    if axis_name is None:
+        mean = jnp.mean(data, dtype=jnp.float32).astype(data.dtype)
+        var = jnp.var(data, dtype=jnp.float32).astype(data.dtype)
+    else:
+        mean = lax.pmean(jnp.mean(data, dtype=jnp.float32), axis_name)
+        var = lax.pmean(
+            jnp.mean(jnp.square(data.astype(jnp.float32) - mean),
+                     dtype=jnp.float32),
+            axis_name)
+        mean = mean.astype(data.dtype)
+        var = var.astype(data.dtype)
     return (data - mean) * lax.rsqrt(jnp.clip(var, 1e-5))

@@ -110,6 +110,32 @@ class Metric(flax.struct.PyTreeNode):
             count=new_count,
         )
 
+    def merge_across(self, axis_name) -> "Metric":
+        """Exact parallel-Welford combine across a shard_map mesh axis.
+
+        The grouped form of ``merge``: global mean is the count-weighted
+        mean of shard means, and the global m2 adds each shard's
+        between-group term ``count * (mean - global_mean)^2``. Used when
+        metrics are recorded from per-shard slices inside a manual region
+        so every shard ends with identical (replicated) statistics.
+        """
+        count = jax.lax.psum(self.count, axis_name)
+        count_f = count.astype(jnp.float32)
+        safe = jnp.maximum(count_f, 1.0)
+        mean = jax.lax.psum(
+            self.mean * self.count.astype(jnp.float32), axis_name) / safe
+        m2 = jax.lax.psum(
+            self.m2
+            + self.count.astype(jnp.float32) * jnp.square(self.mean - mean),
+            axis_name)
+        return self.replace(
+            mean=mean,
+            m2=m2,
+            min=jax.lax.pmin(self.min, axis_name),
+            max=jax.lax.pmax(self.max, axis_name),
+            count=count,
+        )
+
 
 class TrainingMetrics(flax.struct.PyTreeNode):
     metrics: FrozenDict
@@ -160,20 +186,29 @@ class TrainingMetrics(flax.struct.PyTreeNode):
             )
         return self.replace(metrics=self.metrics.copy(updated))
 
-    def record(self, data) -> "TrainingMetrics":
+    def record(self, data, axis_name=None) -> "TrainingMetrics":
         """Summarize raw arrays into Metrics and store them.
 
         Handles both the vmapped (inside per-policy ``vmap``; arrays have no
         policy axis and the stored metric slot is 1-D) and the unvmapped case
-        (policy leading axis).
+        (policy leading axis). With ``axis_name`` (inside a shard_map region
+        where each shard recorded stats over its slice of the batch), the
+        per-shard Welford summaries are combined exactly across the axis so
+        the stored metric equals the single-device one.
         """
         updated = {}
         for k in data.keys():
             per_policy = self.metrics[k].per_policy
-            init_metric = partial(Metric.init_from_data, per_policy)
 
+            def init_metric_one(arr, per_policy=per_policy):
+                m = Metric.init_from_data(per_policy, arr)
+                if axis_name is not None:
+                    m = m.merge_across(axis_name)
+                return m
+
+            init_metric = init_metric_one
             if per_policy and self.metrics[k].mean.ndim > 1:
-                init_metric = jax.vmap(init_metric)
+                init_metric = jax.vmap(init_metric_one)
                 write = lambda x, y: x.at[:, self.cur_buffer_offset].set(y)
             else:
                 write = lambda x, y: x.at[self.cur_buffer_offset].set(y)

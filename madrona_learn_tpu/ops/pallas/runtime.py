@@ -33,17 +33,20 @@ def pallas_backend_ok() -> bool:
        fall back to the jnp twins (same math, partitionable) unless the
        step runs under a fully-manual shard_map.
     3. ``MADRONA_LEARN_TPU_FORCE_PALLAS=1`` overrides the multi-device
-       checks for other single-device jits inside multi-chip processes.
+       checks for single-device jits inside multi-chip processes — e.g.
+       serving pinned to one chip of a pod via ``jax_default_device``.
 
-    Caveat for pinned devices: pinning ``jax_default_device`` to one TPU
-    and then explicitly jitting over a multi-device mesh is NOT detected
-    here — leave the device unpinned (or pass ``use_pallas=False``) in
-    that configuration.
+    A pinned ``jax_default_device`` no longer short-circuits the
+    multi-device checks: pinning selects where *unsharded* computations
+    run, but an explicitly multi-device GSPMD jit traced with a pinned
+    default device would still route Mosaic calls into a program that
+    fails to partition. So a pinned TPU device must additionally satisfy
+    the same single-device / fully-manual-mesh / FORCE_PALLAS conditions.
     """
     dev = jax.config.jax_default_device
-    if dev is not None:
-        return getattr(dev, "platform", None) == "tpu"
-    if jax.default_backend() != "tpu":
+    if dev is not None and getattr(dev, "platform", None) != "tpu":
+        return False
+    if dev is None and jax.default_backend() != "tpu":
         return False
     if jax.device_count() == 1:
         return True

@@ -132,6 +132,7 @@ def _ppo_update(
     policy_state: PolicyState,
     train_state: PolicyTrainState,
     metrics: TrainingMetrics,
+    data_axis: Optional[str] = None,
 ):
     # Per-trajectory weights must enter as [mb, 1] so they broadcast against
     # the time-major [T, mb, ...] per-element losses as one weight per
@@ -140,6 +141,22 @@ def _ppo_update(
     # memory by mb x. Static shapes make this checkable at trace time.
     assert mb_weights.ndim == 2 and mb_weights.shape[-1] == 1, (
         f"mb_weights must be [minibatch, 1], got {mb_weights.shape}")
+
+    # Inside a manual (shard_map) learn region, ``mb`` holds this data
+    # shard's equal slice of the global minibatch; every reduction below
+    # pmean/psums over ``data_axis`` so losses, gradients, normalizer
+    # updates, and metrics equal the single-device computation exactly.
+    if data_axis is not None:
+        assert train_state.scaler is None, (
+            "fp16 DynamicScale is not supported inside the manual learn "
+            "region (per-shard finite-ness would desynchronize the scale); "
+            "use the GSPMD learn path for fp16")
+
+    def global_mean(x, **kwargs):
+        m = jnp.mean(x, **kwargs)
+        if data_axis is not None:
+            m = lax.pmean(m, data_axis)
+        return m
 
     value_norm = train_state.value_normalizer
     hp = train_state.hyper_params
@@ -162,11 +179,11 @@ def _ppo_update(
         if cfg.compute_advantages:
             advantages = mb["advantages"].astype(jnp.float32)
             if cfg.normalize_advantages:
-                advantages = zscore_data(advantages)
+                advantages = zscore_data(advantages, axis_name=data_axis)
         else:
             advantages = mb["returns"].astype(jnp.float32)
             if cfg.normalize_returns:
-                advantages = zscore_data(advantages)
+                advantages = zscore_data(advantages, axis_name=data_axis)
 
         def surrogate(new_lp, old_lp):
             old_lp = old_lp.astype(jnp.float32)
@@ -220,7 +237,8 @@ def _ppo_update(
             else:
                 new_value_norm_state, normalized_returns = (
                     value_norm.normalize_and_update_estimates(
-                        train_state.value_normalizer_state, mb["returns"]))
+                        train_state.value_normalizer_state, mb["returns"],
+                        axis_name=data_axis))
 
             if cfg.algo.huber_value_loss:
                 value_losses = optax.huber_loss(
@@ -232,7 +250,7 @@ def _ppo_update(
         # -- reductions ------------------------------------------------------
         def reduce_action_objs(objs):
             return sum(
-                jnp.mean(mb_weights * o.astype(jnp.float32))
+                global_mean(mb_weights * o.astype(jnp.float32))
                 for o in jax.tree.leaves(objs))
 
         def reduce_entropies(entropies):
@@ -241,14 +259,14 @@ def _ppo_update(
                 total = 0.0
                 for k in entropies.keys():
                     w = key_weights.get(k, 1.0)
-                    total = total + w * jnp.mean(
+                    total = total + w * global_mean(
                         mb_weights * entropies[k].astype(jnp.float32))
             else:
-                total = jnp.mean(mb_weights * entropies.astype(jnp.float32))
+                total = global_mean(mb_weights * entropies.astype(jnp.float32))
             return hp.entropy_coef * total
 
         action_obj_avg = reduce_action_objs(action_objs)
-        value_loss = jnp.mean(mb_weights * value_losses, dtype=jnp.float32)
+        value_loss = global_mean(mb_weights * value_losses, dtype=jnp.float32)
         entropy_avg = reduce_entropies(entropies)
 
         loss = (
@@ -278,6 +296,13 @@ def _ppo_update(
         else:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             aux, grads = grad_fn(params)
+
+        if data_axis is not None:
+            # loss_fn's pmeans make the loss *value* global, but each
+            # shard's AD only sees its local contribution; the global
+            # gradient is the sum of shard gradients.
+            grads = jax.tree.map(
+                lambda g: lax.psum(g, data_axis), grads)
 
         with jax.numpy_dtype_promotion("standard"):
             param_updates, new_opt_state = train_state.tx.update(
@@ -341,8 +366,11 @@ def _ppo_update(
         )
 
     with profile("Record Metrics"):
+        # The loss scalar is already global (pmean'd inside loss_fn); the
+        # per-element arrays are this shard's slice, so only they need the
+        # cross-shard Welford merge.
+        metrics = metrics.record({"Loss": combined_loss})
         metrics = metrics.record({
-            "Loss": combined_loss,
             "Action Obj": jnp.concatenate(
                 [x.reshape(-1, x.shape[-1])
                  for x in jax.tree.leaves(action_objs)], axis=-1),
@@ -351,7 +379,7 @@ def _ppo_update(
             "Entropy": jnp.concatenate(
                 [x.reshape(-1, x.shape[-1])
                  for x in jax.tree.leaves(entropies)], axis=-1),
-        })
+        }, axis_name=data_axis)
 
     return policy_state, train_state, metrics
 
@@ -363,6 +391,7 @@ def _ppo(
     rollout_data: RolloutData,
     user_metrics_cb: Callable,
     init_metrics: TrainingMetrics,
+    data_axis: Optional[str] = None,
 ):
     """Epoch/minibatch optimization for one policy (vmapped over policies).
 
@@ -371,7 +400,21 @@ def _ppo(
     clears a threshold tied to an EMA of the max advantage), trajectory
     importance sampling (sample sequences by |adv| + value error, weighted to
     stay unbiased), or uniform shuffled minibatches.
+
+    With ``data_axis`` (inside the manual shard_map learn region, see
+    train.py), every shard computes the same per-epoch permutation from the
+    replicated per-policy PRNG, then optimizes its equal slice of each
+    global minibatch; _ppo_update restores global semantics with
+    psums/pmeans over the axis. Only the uniform minibatch mode is
+    supported there (filter/importance modes argsort the full batch).
     """
+    if data_axis is not None:
+        assert not cfg.filter_advantages, (
+            "advantage filtering is unsupported in the manual learn region")
+        assert not cfg.importance_sample_trajectories, (
+            "trajectory importance sampling is unsupported in the manual "
+            "learn region")
+
     if cfg.filter_advantages:
         rollout_data = rollout_data.flatten_time()
 
@@ -447,14 +490,28 @@ def _ppo(
             policy_state, train_state, metrics = inputs
 
             with profile("Gather Minibatch"):
-                mb_inds = lax.dynamic_slice(
-                    rnd_inds, (mb_i * cfg.algo.minibatch_size,),
-                    (cfg.algo.minibatch_size,))
+                if data_axis is None:
+                    mb_inds = lax.dynamic_slice(
+                        rnd_inds, (mb_i * cfg.algo.minibatch_size,),
+                        (cfg.algo.minibatch_size,))
+                else:
+                    # Equal disjoint slice of the global minibatch for this
+                    # data shard: the permutation is replicated, the rows
+                    # are local (rollout_data enters the manual region
+                    # replicated over data).
+                    num_shards = lax.axis_size(data_axis)
+                    local_size = cfg.algo.minibatch_size // num_shards
+                    mb_inds = lax.dynamic_slice(
+                        rnd_inds,
+                        (mb_i * cfg.algo.minibatch_size
+                         + lax.axis_index(data_axis) * local_size,),
+                        (local_size,))
                 mb = rollout_data.minibatch(mb_inds)
                 mb_weights = traj_weights[mb_inds]
 
             policy_state, train_state, metrics = _ppo_update(
-                cfg, mb, mb_weights, policy_state, train_state, metrics)
+                cfg, mb, mb_weights, policy_state, train_state, metrics,
+                data_axis=data_axis)
 
             with profile("Metrics Callback"):
                 metrics = user_metrics_cb(

@@ -629,6 +629,43 @@ class RolloutManager:
         self._gamma = train_cfg.gamma
         self._gae_lambda = train_cfg.gae_lambda
         self._use_pallas_gae = train_cfg.use_pallas_gae
+        self._mesh_cfg = train_cfg.mesh
+
+    def _gae_shardable(self, store_shape):
+        """Whether the [C, T/C, P, B, 1] advantage inputs divide the mesh
+        (policy axis over P, data axis over B) for the manual GAE region."""
+        mesh_cfg = self._mesh_cfg
+        if mesh_cfg is None or mesh_cfg.num_devices <= 1:
+            return False
+        _, _, num_policies, batch = store_shape[:4]
+        return (num_policies % mesh_cfg.policy == 0
+                and batch % mesh_cfg.data == 0)
+
+    def _compute_advantages_sharded(self, rewards, values, dones, bootstrap):
+        from .parallel.mesh import DATA_AXIS, POLICY_AXIS, make_mesh
+
+        mesh = make_mesh(self._mesh_cfg)
+        P = jax.sharding.PartitionSpec
+        store_spec = P(None, None, POLICY_AXIS, DATA_AXIS, None)
+        boot_spec = P(POLICY_AXIS, DATA_AXIS, None)
+
+        def body(r, v, d, b):
+            from .models.attention import _pallas_backend_ok
+            if _pallas_backend_ok():
+                from .ops.pallas.gae import compute_advantages_pallas as fn
+            else:
+                fn = compute_advantages
+            return fn(self._gamma, self._gae_lambda, r, v, d, b)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(store_spec, store_spec, store_spec, boot_spec),
+            out_specs=store_spec,
+            # pallas_call carries no vma metadata; the region is
+            # embarrassingly parallel (outputs sharded exactly like
+            # inputs), so the check adds nothing here.
+            check_vma=False,
+        )(rewards, values, dones, bootstrap)
 
     def add_metrics(self, train_cfg: TrainConfig, metrics: FrozenDict):
         new_metrics = {
@@ -857,6 +894,18 @@ class RolloutManager:
 
                 advantages = compute_advantages_pallas(
                     self._gamma, self._gae_lambda,
+                    rollouts["rewards"], unnormalized_values,
+                    rollouts["dones"], unnormalized_bootstrap)
+            elif self._use_pallas_gae and self._gae_shardable(
+                    rollouts["dones"].shape):
+                # Multi-device GSPMD trace: GSPMD can't partition a Mosaic
+                # custom call, but the GAE recurrence touches only the time
+                # axis, so run it manual over the mesh — each shard scans
+                # its [policy-slice, agent-slice] block and the kernel
+                # stays routed (on non-TPU backends the body falls back to
+                # the scan twin per shard; results are identical either
+                # way).
+                advantages = self._compute_advantages_sharded(
                     rollouts["rewards"], unnormalized_values,
                     rollouts["dones"], unnormalized_bootstrap)
             else:

@@ -49,6 +49,7 @@ from .rollouts import (
     rollout_loop,
     rollouts_reset,
 )
+from .parallel.mesh import DATA_AXIS, POLICY_AXIS, make_mesh
 from .train_state import TrainStateManager
 from .utils.profile import profile
 
@@ -180,6 +181,36 @@ def stop_training(training_mgr: TrainingManager):
         jax.profiler.stop_server()
 
 
+def _manual_learn_enabled(cfg: TrainConfig) -> bool:
+    """Whether the learn phase runs as a manual shard_map region.
+
+    The manual region keeps the Mosaic kernels routed on multi-chip meshes
+    (GSPMD cannot partition a Mosaic custom call — ops/pallas/runtime.py);
+    it reproduces global minibatch semantics with psums over ``data``.
+    Configurations it does not support fall back to the GSPMD learn path
+    (kernels fall back to their jnp twins there).
+    """
+    mesh_cfg = cfg.mesh
+    if (mesh_cfg is None or mesh_cfg.num_devices <= 1
+            or not mesh_cfg.manual_learn):
+        return False
+    if mesh_cfg.model > 1:
+        # Tensor-parallel kernels would need manual collectives inside the
+        # matmuls; TP stays on the GSPMD path.
+        return False
+    if cfg.filter_advantages or cfg.importance_sample_trajectories:
+        return False
+    if cfg.compute_dtype == jnp.float16:
+        return False  # DynamicScale needs globally synced finite-ness.
+    num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
+    if num_train_policies % mesh_cfg.policy != 0:
+        return False
+    minibatch_size = getattr(cfg.algo, "minibatch_size", None)
+    if minibatch_size is None or minibatch_size % mesh_cfg.data != 0:
+        return False
+    return True
+
+
 def _update_impl(
     algo: AlgoBase,
     cfg: TrainConfig,
@@ -196,7 +227,39 @@ def _update_impl(
             cfg, policy_state, train_state, rollout_data,
             user_hooks.optimize_metrics, metrics)
 
+    def learn_manual(policy_states, train_states, rollout_data, metrics):
+        """The GSPMD-free learn phase: manual over every mesh axis.
+
+        Everything enters sharded over ``policy`` on its (stacked) leading
+        axis and replicated over ``data``; inside, each device vmaps over
+        its local policies and optimizes the ``data``-sliced minibatches
+        (see ppo._ppo). Because the region is manual over every axis,
+        ``pallas_backend_ok`` holds and the fused Mosaic kernels serve the
+        forward/backward (BASELINE.json north star: kernels at pod scale).
+        """
+        mesh = make_mesh(cfg.mesh)
+
+        @jax.vmap
+        def one_policy(policy_state, train_state, rollout_data, metrics):
+            return algo.update(
+                cfg, policy_state, train_state, rollout_data,
+                user_hooks.optimize_metrics, metrics,
+                data_axis=DATA_AXIS)
+
+        spec = jax.sharding.PartitionSpec(POLICY_AXIS)
+        # check_vma=False: pallas_call inside shard_map has no vma
+        # metadata on its out_shapes; data-axis invariance of every output
+        # is established by the psums in ppo._ppo_update and asserted by
+        # the sharded == single-device tests (tests/test_sharding.py).
+        mapped = jax.shard_map(
+            one_policy, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=spec,
+            check_vma=False)
+        return mapped(policy_states, train_states, rollout_data, metrics)
+
     num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
+    manual_learn = _manual_learn_enabled(cfg)
 
     with profile("Update Iter"):
         with profile("Collect Rollouts"):
@@ -223,8 +286,9 @@ def _update_impl(
                     )))
 
         with profile("Learn"):
+            learn_fn = learn_manual if manual_learn else algo_wrapper
             (train_policy_states, updated_train_states, metrics) = (
-                algo_wrapper(
+                learn_fn(
                     train_policy_states, train_state_mgr.train_states,
                     rollout_data, metrics))
 
@@ -428,13 +492,22 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
     num_match_slots = sim_batch_size // (team_size * num_teams)
     pairs_arr = np.asarray(pairs, np.int32).reshape(-1, num_teams)
     if num_match_slots < pairs_arr.shape[0]:
+        dropped = pairs_arr[num_match_slots:]
+        shown = ", ".join(
+            f"{a}v{b}" for a, b in dropped[:16].tolist())
+        if dropped.shape[0] > 16:
+            shown += f", ... ({dropped.shape[0] - 16} more)"
         warnings.warn(
             f"all-pairs eval underfilled: sim batch provides "
             f"{num_match_slots} match slots but the tournament has "
-            f"{pairs_arr.shape[0]} pairings; the last "
-            f"{pairs_arr.shape[0] - num_match_slots} pairings get no "
-            f"matches this eval, so Elo updates are partial. Increase "
-            f"num_worlds or reduce the population.",
+            f"{pairs_arr.shape[0]} pairings; dropped pairings this eval: "
+            f"[{shown}]. Elo updates are partial — each dropped pair "
+            f"contributes no head-to-head evidence, which biases rankings "
+            f"only between policies whose remaining opponents differ in "
+            f"strength (transitivity still orders them through shared "
+            f"opponents; see tests/test_elo_semantics.py underfill "
+            f"invariant). Increase num_worlds or reduce the population "
+            f"for full coverage.",
             stacklevel=2)
     slot_idx = np.arange(num_match_slots) % pairs_arr.shape[0]
     assignments = pairs_arr[slot_idx]  # [num_match_slots, num_teams]
@@ -459,11 +532,20 @@ def eval_elo(
     """All-pairs static-matchmaking tournament; returns updated Elos
     (re-baselined to 1500 against the baseline policy) + deltas.
 
-    The tournament is jitted and cached per (config, num_eval_steps), so
+    The tournament is jitted and cached per (manager, num_eval_steps), so
     in-loop tournaments pay compile time once — repeated eager calls reuse
     the compiled program (the reference re-traces its host-driven loop every
-    call, reference: train.py:397-549)."""
-    key = (repr(training_mgr.cfg), num_eval_steps)
+    call, reference: train.py:397-549).
+
+    The key is the manager's ``update_fn`` identity (stable across
+    ``replace()`` for a training run): the jitted tournament specializes on
+    that closure as a static pytree field anyway, so keying on the config
+    repr (as before) could only ever pretend to share compilations between
+    managers — a fresh manager with an equal config re-traced regardless —
+    while configs holding callables/arrays repr object identities and
+    thrashed the LRU. A recycled id after GC at worst triggers a retrace
+    inside the cached jit wrapper, never a wrong program."""
+    key = (id(training_mgr.update_fn), num_eval_steps)
     fn = _ELO_TOURNAMENT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(partial(_eval_elo_impl, num_eval_steps=num_eval_steps))

@@ -60,7 +60,7 @@ def make_policy(actions):
     )
 
 
-def build_training_mgr(seed=3):
+def build_training_mgr(seed=3, mesh=None, normalize_values=False):
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
     env_cfg = ToyEnvConfig(
         num_worlds=NUM_WORLDS, episode_len=EPISODE_LEN, num_teams=2,
@@ -100,8 +100,9 @@ def build_training_mgr(seed=3):
             policy_overwrite_threshold=0.5,
         ),
         dreamer_v3_critic=False,
-        normalize_values=False,
+        normalize_values=normalize_values,
         compute_advantages=True,
+        mesh=mesh,
     )
 
     policy = make_policy(actions)

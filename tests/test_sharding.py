@@ -217,6 +217,22 @@ def test_pallas_gate_multi_device_rules(eight_devices, monkeypatch):
                   out_specs=P("data"), axis_names={"data"})(jnp.ones((8,)))
     assert seen2 == [False]
 
+    # A pinned TPU jax_default_device must NOT short-circuit the
+    # multi-device checks (an explicitly multi-device GSPMD jit traced
+    # under a pinned device still can't partition Mosaic calls).
+    class FakeTpuDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(
+        type(jax.config), "jax_default_device",
+        property(lambda self: FakeTpuDev()))
+    assert jax.config.jax_default_device is not None
+    assert jax.device_count() == 8
+    assert not mattn._pallas_backend_ok()
+    # ...but with one device it still counts as the serving case.
+    monkeypatch.setattr(jax, "device_count", lambda *a, **kw: 1)
+    assert mattn._pallas_backend_ok()
+
 
 def test_sharded_training_with_use_pallas_models(eight_devices):
     """A data/policy-sharded update with use_pallas models + pallas GAE
@@ -412,3 +428,146 @@ def test_shard_local_layout_matches_single_device(eight_devices):
 
     np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_manual_learn_region_routes_kernels(eight_devices, monkeypatch):
+    """VERDICT r2 item 2 done-criteria: on a data>1 mesh the kernel gate
+    reports True inside the manual shard_map learn region and the fused
+    kernels (not the jnp twins) execute, proven in interpret mode on the
+    virtual CPU mesh with sharded == single-device equality."""
+    import madrona_learn_tpu.models.attention as mattn
+    import madrona_learn_tpu.ops.pallas.gae as pgae
+    import madrona_learn_tpu.ops.pallas.lstm as plstm
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+
+    # The real gate minus the TPU-backend check: kernels route exactly
+    # when the trace is manual over every mesh axis.
+    def manual_only_gate():
+        mesh = jax.sharding.get_abstract_mesh()
+        manual = set(getattr(mesh, "manual_axes", ()))
+        return bool(mesh.axis_names) and manual == set(mesh.axis_names)
+
+    monkeypatch.setattr(mattn, "_pallas_backend_ok", manual_only_gate)
+
+    calls = {"lstm": 0, "gae": 0}
+    orig_lstm = plstm.lstm_sequence
+    orig_gae = pgae.compute_advantages_pallas
+
+    def lstm_interp(*args, **kw):
+        calls["lstm"] += 1
+        kw["interpret"] = True
+        return orig_lstm(*args, **kw)
+
+    def gae_interp(*args, **kw):
+        calls["gae"] += 1
+        kw["interpret"] = True
+        return orig_gae(*args, **kw)
+
+    monkeypatch.setattr(plstm, "lstm_sequence", lstm_interp)
+    monkeypatch.setattr(pgae, "compute_advantages_pallas", gae_interp)
+
+    num_worlds = 32
+    dtype = jnp.float32
+
+    def build(seed, mesh_cfg):
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=seed))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=RecurrentBackboneEncoder(
+                    net=MLP(num_channels=32, num_layers=1, dtype=dtype),
+                    rnn=LSTM(num_hidden_channels=128, num_layers=1,
+                             dtype=dtype, use_pallas=True))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=1,
+            actions=actions, steps_per_update=16, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=seed,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=num_worlds,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            mesh=mesh_cfg,
+            use_pallas_gae=True)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+
+    # Single-device comparator: no mesh, GSPMD-free; the gate is False on
+    # every plain trace so the jnp twins run.
+    loss_single = np.asarray(
+        update(build(41, None)).metrics.metrics["Loss"].mean)
+    assert calls == {"lstm": 0, "gae": 0}
+
+    # Sharded run with the manual learn region + manual GAE region: the
+    # kernels must actually trace.
+    mesh = make_mesh(mlt.MeshConfig(data=4, policy=1), eight_devices[:4])
+    mgr_sharded = shard_training_manager(build(41, mlt.MeshConfig(
+        data=4, policy=1)), mesh)
+    loss_sharded = np.asarray(
+        update(mgr_sharded).metrics.metrics["Loss"].mean)
+
+    assert calls["lstm"] > 0, "fused LSTM kernel did not route"
+    assert calls["gae"] > 0, "fused GAE kernel did not route"
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("normalize_values", [False, True])
+def test_manual_learn_pbt_matches_gspmd(eight_devices, normalize_values):
+    """The manual shard_map learn region must reproduce the GSPMD learn
+    phase exactly for a PBT population sharded over (data=2, policy=2) —
+    same rollout layout (the comparator differs ONLY in the learn-region
+    implementation), including the psum'd value-normalizer EMA update and
+    the cross-shard Welford metric merges."""
+    mesh_on = mlt.MeshConfig(data=2, policy=2, manual_learn=True)
+    mesh_off = mlt.MeshConfig(data=2, policy=2, manual_learn=False)
+    assert mlt.train._manual_learn_enabled(build_training_mgr(
+        seed=57, mesh=mesh_on, normalize_values=normalize_values).cfg)
+    assert not mlt.train._manual_learn_enabled(build_training_mgr(
+        seed=57, mesh=mesh_off, normalize_values=normalize_values).cfg)
+
+    update = jax.jit(lambda m: m.update_iter())
+    mesh = make_mesh(mesh_on, eight_devices[:4])
+
+    outs = {}
+    for name, mesh_cfg in (("manual", mesh_on), ("gspmd", mesh_off)):
+        mgr = shard_training_manager(
+            build_training_mgr(
+                seed=57, mesh=mesh_cfg,
+                normalize_values=normalize_values),
+            mesh)
+        outs[name] = update(mgr)
+
+    for key, tol in (("Loss", 1e-5), ("Value Errors", 1e-4),
+                     ("Entropy", 1e-5)):
+        got = np.asarray(outs["manual"].metrics.metrics[key].mean)
+        want = np.asarray(outs["gspmd"].metrics.metrics[key].mean)
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol,
+                                   err_msg=key)
+    # Parameters themselves must agree (optimizer + weight projection ran
+    # on psum'd gradients equal to the GSPMD ones up to reduction order;
+    # Adam's rsqrt amplifies the fp noise on near-zero bias entries, hence
+    # the absolute tolerance).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        jax.device_get(outs["manual"].state.policy_states.params),
+        jax.device_get(outs["gspmd"].state.policy_states.params))
