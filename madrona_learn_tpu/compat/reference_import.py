@@ -31,7 +31,12 @@ from typing import Any, Mapping
 import numpy as np
 
 _GATE_ORDER = ("i", "f", "g", "o")
-_REF_CELL_PREFIX = "OptimizedLSTMCell_"
+# Containers convertible to the packed layout: the reference's
+# ``cell/OptimizedLSTMCell_<i>`` nesting, plus this repo's own
+# pre-restructure LSTM (``cell/layer_<i>`` holding the same eight per-gate
+# denses) so old local checkpoints keep loading after the packed-gate
+# restructure.
+_CELL_PREFIXES = ("OptimizedLSTMCell_", "layer_")
 
 
 def _is_ref_lstm_cell(subtree: Any) -> bool:
@@ -65,11 +70,20 @@ def _pack_ref_lstm_cell(cell: Mapping[str, Any]) -> dict:
     }
 
 
+def _cell_layer_idx(key: str):
+    """Layer index if ``key`` names a per-layer cell, else None."""
+    for prefix in _CELL_PREFIXES:
+        if key.startswith(prefix) and key[len(prefix):].isdigit():
+            return int(key[len(prefix):])
+    return None
+
+
 def _is_ref_lstm_cell_container(value: Any) -> bool:
-    """The reference nests its per-layer cells one level deeper than we do
-    (``rnn/cell/OptimizedLSTMCell_<i>``): detect that exact container."""
+    """A ``cell`` subtree whose children are all per-gate-dense LSTM layers
+    (reference ``OptimizedLSTMCell_<i>`` or this repo's pre-restructure
+    ``layer_<i>`` naming)."""
     return (isinstance(value, Mapping) and value
-            and all(isinstance(k, str) and k.startswith(_REF_CELL_PREFIX)
+            and all(isinstance(k, str) and _cell_layer_idx(k) is not None
                     and _is_ref_lstm_cell(v)
                     for k, v in value.items()))
 
@@ -90,7 +104,7 @@ def convert_reference_params(params: Any) -> Any:
     for key, value in params.items():
         if key == "cell" and _is_ref_lstm_cell_container(value):
             for cell_key, cell in value.items():
-                layer_idx = int(cell_key[len(_REF_CELL_PREFIX):])
+                layer_idx = _cell_layer_idx(cell_key)
                 converted[f"layer_{layer_idx}"] = _pack_ref_lstm_cell(cell)
         else:
             converted[key] = convert_reference_params(value)

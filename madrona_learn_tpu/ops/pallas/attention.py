@@ -88,6 +88,16 @@ def _mha_fwd_rule(q, k, v, valid_len, interpret):
 
 
 def _mha_bwd_rule(valid_len, interpret, residuals, g):
+    # Backward recomputes through the jnp reference while the primal ran
+    # the Mosaic kernel: the returned gradient is for a forward whose
+    # rounding (XLA fusion order) differs from the kernel's (MXU
+    # accumulation order) by O(eps * S) — negligible at entity scale
+    # (S <= 256 on the routed path) and covered by the fwd-vs-twin
+    # tolerances in tests/test_pallas_kernels.py. ``mha_flash`` reuses
+    # this backward, materializing the full [B, H, S, S] score tensor; a
+    # flash-structured backward is only warranted if mha_flash ever
+    # enters production routing (it currently loses to XLA at the S where
+    # it would matter — BASELINE.md "flash-attention variant").
     q, k, v = residuals
     _, vjp = jax.vjp(
         lambda q_, k_, v_: mha_reference(q_, k_, v_, valid_len=valid_len),

@@ -134,6 +134,11 @@ def compute_reorder_chunks_sharded(assignments, P, C, B_local, D):
     ``n_local``); apply through ``PolicyBatchReorderState`` with
     ``data_shards=D``.
     """
+    if D <= 1:
+        raise ValueError(
+            "compute_reorder_chunks_sharded requires D > 1; with one data "
+            "shard use compute_reorder_chunks (production routes "
+            "data_shards=1 there — rollouts.py RolloutConfig.setup)")
     N = assignments.shape[0]
     assert N % D == 0, (N, D)
     n_local = N // D

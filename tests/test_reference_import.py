@@ -237,3 +237,37 @@ def test_obs_normalizer_state_migrates_unchanged():
         np.testing.assert_allclose(
             np.asarray(ref_out[key]), np.asarray(our_out[key]),
             rtol=1e-6, atol=1e-6, err_msg=key)
+
+
+def test_convert_pre_restructure_local_layout():
+    """Checkpoints written by this repo's own pre-restructure LSTM
+    (cell/layer_<i> holding the reference's eight per-gate denses) must
+    convert to the packed layout too (ADVICE r2: they previously passed
+    through unconverted and failed to load)."""
+    import numpy as np
+    from madrona_learn_tpu.compat.reference_import import (
+        convert_reference_params)
+
+    rng = np.random.default_rng(0)
+    F, H = 3, 4
+
+    def dense(in_dim, bias):
+        d = {"kernel": rng.standard_normal((in_dim, H)).astype(np.float32)}
+        if bias:
+            d["bias"] = rng.standard_normal(H).astype(np.float32)
+        return d
+
+    cell = {}
+    for g in "ifgo":
+        cell[f"i{g}"] = dense(F, bias=False)
+        cell[f"h{g}"] = dense(H, bias=True)
+    tree = {"params": {"rnn": {"cell": {"layer_0": cell}}}}
+
+    out = convert_reference_params(tree)
+    layer = out["params"]["rnn"]["layer_0"]
+    assert layer["input_proj"]["kernel"].shape == (F, 4 * H)
+    assert layer["recurrent_kernel"].shape == (H, 4 * H)
+    assert layer["bias"].shape == (4 * H,)
+    np.testing.assert_array_equal(
+        layer["input_proj"]["kernel"][:, :H], cell["ii"]["kernel"])
+    np.testing.assert_array_equal(layer["bias"][:H], cell["hi"]["bias"])

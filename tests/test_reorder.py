@@ -222,3 +222,12 @@ def test_sharded_roundtrip_fuzz(data, P, C, D):
             min_size=N, max_size=N)))
     to_policy, chunked = roundtrip_sharded(assignments, P, C, D)
     chunks_are_policy_pure(to_policy, chunked, assignments, N)
+
+
+def test_sharded_requires_multiple_shards():
+    """D=1 is fenced: the degenerate case belongs to the global
+    construction (production routes data_shards=1 there), and the local
+    sentinel layout is only meaningful with real shard blocks."""
+    assignments = jnp.zeros((16,), jnp.int32)
+    with pytest.raises(ValueError, match="requires D > 1"):
+        compute_reorder_chunks_sharded(assignments, 2, 4, 5, 1)
