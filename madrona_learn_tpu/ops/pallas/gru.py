@@ -7,8 +7,10 @@ hoisted out by the caller, and only the h sequence is stashed. The
 backward rematerializes the gates from the stored sequence with one extra
 MXU matmul and emits the two packed cotangents (``dxp`` for the input
 projection, ``dhp`` for the recurrent projection — unlike the LSTM these
-differ because the candidate gate's recurrent half is gated by r), leaving
-the weight-gradient matmuls to XLA.
+differ because the candidate gate's recurrent half is gated by r). The
+recurrent weight/bias gradients accumulate in a fused fp32 epilogue into
+VMEM-resident blocks (same as the LSTM kernel), so no separate XLA pass
+re-streams the h sequence and dhp.
 
 Gate math follows flax's ``nn.GRUCell`` (the module twin used at
 single-step rollout time), cuDNN's "linear-before-reset" variant:
@@ -81,13 +83,22 @@ def _fwd_kernel(xp_ref, keep_ref, wh_ref, bh_ref, h0_ref, ys_ref, h_scr):
 
 
 def _bwd_kernel(T, xp_ref, dys_ref, ysp_ref, keepp_ref, wh_ref, bh_ref,
-                h0_ref, dxp_ref, dhp_ref, dh0_ref, dh_scr):
+                h0_ref, dxp_ref, dhp_ref, dh0_ref, dwh_ref, dbh_ref,
+                dh_scr):
     it = pl.program_id(1)
+    b = pl.program_id(0)
     t = T - 1 - it
 
     @pl.when(it == 0)
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    # Weight-grad accumulators live in VMEM for the whole kernel (their
+    # block index is constant); zero on the very first grid step.
+    @pl.when(jnp.logical_and(b == 0, it == 0))
+    def _():
+        dwh_ref[...] = jnp.zeros_like(dwh_ref)
+        dbh_ref[...] = jnp.zeros_like(dbh_ref)
 
     f32 = jnp.float32
     dt = dxp_ref.dtype
@@ -115,6 +126,20 @@ def _bwd_kernel(T, xp_ref, dys_ref, ysp_ref, keepp_ref, wh_ref, bh_ref,
     dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1).astype(dt)
     dxp_ref[0] = dxp
     dhp_ref[0] = dhp
+
+    # Fused weight-grad epilogue (same as the LSTM kernel): saves XLA's
+    # separate pass re-streaming the h sequence and dhp from HBM.
+    H = dh_scr.shape[-1]
+    dwh_ref[...] += lax.dot_general(
+        h_in, dhp,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    # bias_h feeds hn_lin only: its cotangent is dhp's n slice. The (8, H)
+    # accumulator carries the same partial sum in every row; the caller
+    # reads row 0.
+    dbh_ref[...] += jnp.broadcast_to(
+        jnp.sum(dhp[..., 2 * H:].astype(f32), axis=0, keepdims=True),
+        dbh_ref.shape)
 
     # h_in contributes through h @ W_h (all three slices) and directly
     # through z * h.
@@ -199,7 +224,7 @@ def _gru_seq_bwd(interpret, residuals, dys):
     tmap3 = lambda b, t: (T - 1 - t, b, 0)
     pmap3 = lambda b, t: (jnp.maximum(T - 2 - t, 0), b, 0)
 
-    dxp, dhp, dh0 = pl.pallas_call(
+    dxp, dhp, dh0, dwh, dbh8 = pl.pallas_call(
         functools.partial(_bwd_kernel, T),
         grid=grid,
         in_specs=[
@@ -215,11 +240,15 @@ def _gru_seq_bwd(interpret, residuals, dys):
             pl.BlockSpec((1, BN, G3), tmap3),
             pl.BlockSpec((1, BN, G3), tmap3),
             pl.BlockSpec((BN, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((H, G3), lambda b, t: (0, 0)),
+            pl.BlockSpec((8, H), lambda b, t: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, n_padded, G3), dt),
             jax.ShapeDtypeStruct((T, n_padded, G3), dt),
             jax.ShapeDtypeStruct((n_padded, H), h0.dtype),
+            jax.ShapeDtypeStruct((H, G3), jnp.float32),
+            jax.ShapeDtypeStruct((8, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((BN, H), jnp.float32)],
         interpret=interpret,
@@ -228,24 +257,12 @@ def _gru_seq_bwd(interpret, residuals, dys):
     dxp = dxp[:, :N]
     dhp = dhp[:, :N]
     dh0 = dh0[:N]
-    ys = ys[:, :N]
-    keep3 = keep3[:, :N]
-    h0 = h0[:N]
 
-    # Weight grads: big MXU matmuls over the emitted cotangents.
-    f32 = jnp.float32
-    h_in_seq = jnp.concatenate(
-        [h0[None],
-         jnp.where(keep3[:-1] > 0.5, ys[:-1], jnp.zeros((), ys.dtype))],
-        axis=0)
-    dwh = lax.dot_general(
-        h_in_seq.reshape(T * N, -1), dhp.reshape(T * N, G3),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(wh.dtype)
-    # bias_h feeds hn_lin only; its cotangent is dhp's n slice.
-    dbh = jnp.sum(dhp[..., 2 * (G3 // 3):].astype(f32),
-                  axis=(0, 1)).astype(bias_h.dtype)
-    dkeep = jnp.zeros_like(keep3[..., 0])
+    # Weight grads came out of the kernel's fused epilogue; padded batch
+    # rows contribute zero (their cotangents are identically zero).
+    dwh = dwh.astype(wh.dtype)
+    dbh = dbh8[0].astype(bias_h.dtype)
+    dkeep = jnp.zeros_like(keep3[:, :N, 0])
     return dxp, dkeep, dwh, dbh, dh0
 
 

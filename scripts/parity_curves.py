@@ -11,7 +11,18 @@ mean rewards of the two implementations overlap within the cross-seed spread.
 
 Usage:
     env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/parity_curves.py \
-        [--updates 30] [--worlds 256] [--seeds 3] [--json out.json]
+        [--config base|valuenorm] [--updates 30] [--worlds 256] \
+        [--seeds 3] [--json out.json]
+
+Configs (VERDICT r2 item 5: deepen parity to where the semantics bite):
+- ``base``: MLP+LSTM PPO with advantage z-scoring (BASELINE config #1/#2
+  hybrid; the round-2 evidence).
+- ``valuenorm``: same + EMA value normalization — exercises the
+  normalizer inversion inside GAE (reference: rollouts.py:726-741) and
+  the critic-loss EMA update (reference: ppo.py:169-218,
+  moving_avg.py:131-181).
+
+With --json, results are MERGED into the file under the config name.
 """
 
 import argparse
@@ -43,7 +54,7 @@ def _curve_from_metrics(metric_mean):
     return float(np.nanmean(np.asarray(metric_mean, np.float64)))
 
 
-def run_ours(seed, num_updates, num_worlds):
+def run_ours(seed, num_updates, num_worlds, normalize_values=False):
     import madrona_learn_tpu as mlt
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
     from madrona_learn_tpu.models import (
@@ -81,7 +92,8 @@ def run_ours(seed, num_updates, num_worlds):
         algo=mlt.PPOConfig(
             num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
             value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
-        dreamer_v3_critic=False)
+        dreamer_v3_critic=False,
+        normalize_values=normalize_values)
 
     mgr = mlt.init_training(None, cfg, sim_fns, policy,
                             init_sim_ctrl=jnp.zeros((1,), jnp.int32))
@@ -94,7 +106,7 @@ def run_ours(seed, num_updates, num_worlds):
     return curve
 
 
-def run_reference(seed, num_updates, num_worlds):
+def run_reference(seed, num_updates, num_worlds, normalize_values=False):
     sys.path.insert(0, REF_SRC)
     import flax
     import flax.linen as nn
@@ -174,7 +186,8 @@ def run_reference(seed, num_updates, num_worlds):
             num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
             value_loss_coef=0.5, entropy_coef={"move": 0.01},
             max_grad_norm=0.5),
-        dreamer_v3_critic=False)
+        dreamer_v3_critic=False,
+        normalize_values=normalize_values)
 
     mgr = ml.init_training(jax.devices()[0], cfg, sim_fns, policy,
                            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
@@ -189,18 +202,23 @@ def run_reference(seed, num_updates, num_worlds):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", choices=("base", "valuenorm"),
+                        default="base")
     parser.add_argument("--updates", type=int, default=30)
     parser.add_argument("--worlds", type=int, default=256)
     parser.add_argument("--seeds", type=int, default=3)
     parser.add_argument("--json", type=str, default=None)
     args = parser.parse_args()
 
+    normalize_values = args.config == "valuenorm"
     ref_curves, our_curves = [], []
     for s in range(args.seeds):
-        print(f"--- reference seed {s} ---", flush=True)
-        ref_curves.append(run_reference(s, args.updates, args.worlds))
-        print(f"--- ours seed {s} ---", flush=True)
-        our_curves.append(run_ours(s, args.updates, args.worlds))
+        print(f"--- reference seed {s} ({args.config}) ---", flush=True)
+        ref_curves.append(run_reference(
+            s, args.updates, args.worlds, normalize_values))
+        print(f"--- ours seed {s} ({args.config}) ---", flush=True)
+        our_curves.append(run_ours(
+            s, args.updates, args.worlds, normalize_values))
 
     ref = np.asarray(ref_curves)   # [seeds, updates]
     ours = np.asarray(our_curves)
@@ -224,6 +242,7 @@ def main():
           and our_final.mean() > 3 * abs(ours[:, 0].mean()))
 
     result = {
+        "config": args.config,
         "ref_final_mean": float(ref_final.mean()),
         "ref_final_std": float(ref_final.std()),
         "ours_final_mean": float(our_final.mean()),
@@ -244,8 +263,16 @@ def main():
     print("PARITY OK" if ok else "PARITY FAIL")
 
     if args.json:
+        merged = {}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                existing = json.load(f)
+            # Upgrade the round-2 single-config layout in place.
+            merged = (existing if "ref_final_mean" not in existing
+                      else {"base": existing})
+        merged[args.config] = result
         with open(args.json, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(merged, f, indent=1)
     return 0 if ok else 1
 
 
