@@ -105,10 +105,14 @@ def main():
         None, cfg, sim_fns, policy, init_sim_ctrl=jnp.zeros((1,), jnp.int32))
 
     update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
-    run_eval = jax.jit(lambda m: mlt.eval_elo(
-        m, num_eval_steps=4 * episode_len,
+    eval_kwargs = dict(
+        num_eval_steps=4 * episode_len,
         eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
-        train_sim_ctrl=jnp.zeros((1,), jnp.int32)))
+        train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+    # eval_elo jits + caches the tournament internally; warm its compile
+    # on a background thread while the first updates run.
+    mlt.eval_elo_warmup(mgr, **eval_kwargs)
+    run_eval = lambda m: mlt.eval_elo(m, **eval_kwargs)
     evolve = jax.jit(mlt.update_population)
 
     for i in range(args.num_updates):

@@ -112,6 +112,13 @@ def main():
 
     update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
 
+    # Compile the Elo tournament on a background thread while the first
+    # training updates run, so the first eval cycle doesn't stall on XLA.
+    mlt.eval_elo_warmup(
+        mgr, num_eval_steps=16,
+        eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
+        train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
     for i in range(args.num_updates):
         mgr = update(mgr)
         if (i + 1) % args.eval_interval == 0:

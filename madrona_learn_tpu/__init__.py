@@ -44,6 +44,7 @@ from .train import (
     init_training,
     stop_training,
     eval_elo,
+    eval_elo_warmup,
     update_population,
     latest_checkpoint,
     TrainingManager,
@@ -112,6 +113,7 @@ __all__ = [
     "init_training",
     "stop_training",
     "eval_elo",
+    "eval_elo_warmup",
     "update_population",
     "TrainingManager",
     "TrainHooks",

@@ -523,6 +523,60 @@ _ELO_TOURNAMENT_CACHE: "OrderedDict[Any, Callable]" = OrderedDict()
 _ELO_TOURNAMENT_CACHE_MAX = 8
 
 
+def _tournament_fn(training_mgr, num_eval_steps):
+    key = (id(training_mgr.update_fn), num_eval_steps)
+    fn = _ELO_TOURNAMENT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_eval_elo_impl, num_eval_steps=num_eval_steps))
+        _ELO_TOURNAMENT_CACHE[key] = fn
+        while len(_ELO_TOURNAMENT_CACHE) > _ELO_TOURNAMENT_CACHE_MAX:
+            _ELO_TOURNAMENT_CACHE.popitem(last=False)
+    else:
+        _ELO_TOURNAMENT_CACHE.move_to_end(key)
+    return fn
+
+
+def eval_elo_warmup(
+    training_mgr: TrainingManager,
+    num_eval_steps: int,
+    eval_sim_ctrl: jax.Array,
+    train_sim_ctrl: jax.Array,
+    block: bool = False,
+):
+    """Compile the Elo tournament ahead of its first use, without running it.
+
+    The tournament program is large (a full static-matchmaking rollout
+    loop) and its first in-loop compile historically dominated the first
+    eval cycle (103.5s at BASELINE config #4 scale, round 2). Call this
+    right after ``init_training``: with ``block=False`` (default) the
+    trace+XLA compile runs on a daemon thread and overlaps the first
+    training updates (XLA compilation releases the GIL), so by the time
+    ``eval_elo`` first fires the jit cache is warm and the cycle costs
+    only its run time.
+
+    Returns the warmup thread (or None when ``block=True``); joining it is
+    optional — ``eval_elo`` works correctly either way, at worst compiling
+    synchronously as before.
+    """
+    fn = _tournament_fn(training_mgr, num_eval_steps)
+
+    def compile_now():
+        # AOT trace+compile through the SAME jit wrapper so the executable
+        # lands in its dispatch cache and the later eval_elo call reuses it.
+        fn.lower(training_mgr, eval_sim_ctrl, train_sim_ctrl).compile()
+
+    if block:
+        compile_now()
+        return None
+
+    import threading
+
+    thread = threading.Thread(
+        target=compile_now, name="eval-elo-warmup", daemon=True)
+    thread.start()
+    return thread
+
+
 def eval_elo(
     training_mgr: TrainingManager,
     num_eval_steps: int,
@@ -544,16 +598,11 @@ def eval_elo(
     managers — a fresh manager with an equal config re-traced regardless —
     while configs holding callables/arrays repr object identities and
     thrashed the LRU. A recycled id after GC at worst triggers a retrace
-    inside the cached jit wrapper, never a wrong program."""
-    key = (id(training_mgr.update_fn), num_eval_steps)
-    fn = _ELO_TOURNAMENT_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(partial(_eval_elo_impl, num_eval_steps=num_eval_steps))
-        _ELO_TOURNAMENT_CACHE[key] = fn
-        while len(_ELO_TOURNAMENT_CACHE) > _ELO_TOURNAMENT_CACHE_MAX:
-            _ELO_TOURNAMENT_CACHE.popitem(last=False)
-    else:
-        _ELO_TOURNAMENT_CACHE.move_to_end(key)
+    inside the cached jit wrapper, never a wrong program.
+
+    ``eval_elo_warmup`` pre-compiles this program in the background so the
+    first in-loop tournament doesn't stall on XLA."""
+    fn = _tournament_fn(training_mgr, num_eval_steps)
     return fn(training_mgr, eval_sim_ctrl, train_sim_ctrl)
 
 
