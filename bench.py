@@ -217,20 +217,49 @@ def run_bench():
     }))
 
 
+class _WallLimit(Exception):
+    pass
+
+
 def main():
     """Run the bench; on any failure emit a parseable JSON error record.
 
     The driver records (rc, last JSON line); a raw traceback + rc=1 loses
     the round's perf evidence (it did in round 2 — BENCH_r02.json). One
     full retry after a backend-cache clear covers mid-run backend deaths;
-    the persistent compilation cache makes the retry cheap.
+    the persistent compilation cache makes the retry cheap. A SIGALRM
+    watchdog bounds each attempt: when the tunnel service hangs,
+    jax.devices()/compile block forever instead of failing (observed
+    round 3), and a silent hang loses the record just like a traceback
+    would. The remote waits idle on the GIL, so the alarm handler's raise
+    reliably interrupts them.
     """
+    import signal
+
+    wall_limit = float(
+        os.environ.get("MADRONA_LEARN_TPU_BENCH_WALL_LIMIT", 2700))
+
+    def on_alarm(signum, frame):
+        raise _WallLimit(
+            f"bench attempt exceeded {wall_limit:.0f}s wall-clock "
+            f"(backend hang?)")
+
+    can_alarm = hasattr(signal, "SIGALRM")
+    if can_alarm:
+        signal.signal(signal.SIGALRM, on_alarm)
+
     attempts = 2
     for attempt in range(attempts):
         try:
+            if can_alarm:
+                signal.alarm(int(wall_limit))
             run_bench()
+            if can_alarm:
+                signal.alarm(0)
             return 0
         except Exception as err:  # noqa: BLE001 — convert to JSON record
+            if can_alarm:
+                signal.alarm(0)
             last_err = err
             traceback.print_exc(file=sys.stderr)
             if attempt + 1 < attempts:

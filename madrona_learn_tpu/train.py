@@ -116,6 +116,11 @@ class TrainHooks:
 
     def optimize_metrics(self, metrics, epoch_idx, minibatch, policy_state,
                          train_state):
+        """Called once per minibatch inside the learn phase. Inside the
+        manual shard_map learn region (multi-device mesh with
+        ``manual_learn``), ``minibatch`` holds this data shard's equal
+        slice of the global minibatch; record cross-shard-consistent
+        metrics with ``metrics.record(..., axis_name="data")``."""
         return metrics
 
 

@@ -64,3 +64,28 @@ def test_acquire_backend_retries_then_succeeds(bench_module, monkeypatch):
         max_wait_s=30.0, initial_delay_s=0.01)
     assert backend == jax.default_backend()
     assert calls["n"] == 3
+
+
+def test_wall_limit_hang_emits_json_error(bench_module, monkeypatch, capsys):
+    """A hung backend (jax.devices() blocking forever — observed when the
+    tunnel service dies) must be interrupted by the SIGALRM watchdog and
+    converted to a JSON error record instead of a silent stall."""
+    import time as _time
+
+    import jax
+
+    monkeypatch.setenv("MADRONA_LEARN_TPU_BENCH_WALL_LIMIT", "1")
+
+    def hang():
+        _time.sleep(300)
+
+    monkeypatch.setattr(jax, "devices", hang)
+    t0 = _time.monotonic()
+    rc = bench_module.main()
+    assert rc == 0
+    assert _time.monotonic() - t0 < 30
+
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    record = json.loads(lines[-1])
+    assert record["value"] is None
+    assert "wall-clock" in record["error"]
