@@ -23,7 +23,7 @@ import warnings
 from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Union
 
 import flax
 import jax
@@ -474,9 +474,15 @@ class MatchmakeEvalState(flax.struct.PyTreeNode):
 
 
 def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
-                                 sim_batch_size, num_teams, team_size):
+                                 sim_batch_size, num_teams, team_size,
+                                 pair_offset=0):
     """Static all-pairs (plus custom-policy) team assignments, repeated to
-    fill the sim batch (reference: train.py:914-963)."""
+    fill the sim batch (reference: train.py:914-963).
+
+    ``pair_offset`` (may be a traced scalar) rotates which pairings claim
+    the match slots. When the batch underfills the pairing list, callers
+    that advance the offset each eval cycle sweep coverage across the
+    dropped pairings instead of always starving the same tail."""
     pairs = []
     for a in range(num_eval_policies):
         for b in range(num_eval_policies):
@@ -505,8 +511,9 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
         warnings.warn(
             f"all-pairs eval underfilled: sim batch provides "
             f"{num_match_slots} match slots but the tournament has "
-            f"{pairs_arr.shape[0]} pairings; dropped pairings this eval: "
-            f"[{shown}]. Elo updates are partial — each dropped pair "
+            f"{pairs_arr.shape[0]} pairings; dropped pairings (at "
+            f"pair_offset=0 — advance eval_elo's pair_offset per cycle to "
+            f"rotate coverage): [{shown}]. Elo updates are partial — each dropped pair "
             f"contributes no head-to-head evidence, which biases rankings "
             f"only between policies whose remaining opponents differ in "
             f"strength (transitivity still orders them through shared "
@@ -514,11 +521,12 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
             f"invariant). Increase num_worlds or reduce the population "
             f"for full coverage.",
             stacklevel=2)
-    slot_idx = np.arange(num_match_slots) % pairs_arr.shape[0]
-    assignments = pairs_arr[slot_idx]  # [num_match_slots, num_teams]
-    assignments = np.repeat(assignments.reshape(-1), team_size)
+    slot_idx = (jnp.arange(num_match_slots)
+                + pair_offset) % pairs_arr.shape[0]
+    assignments = jnp.asarray(pairs_arr)[slot_idx]  # [slots, num_teams]
+    assignments = jnp.repeat(assignments.reshape(-1), team_size)
     assert assignments.shape[0] == sim_batch_size
-    return jnp.asarray(assignments)
+    return assignments
 
 
 # Compiled-tournament cache, bounded: each entry pins a compiled program
@@ -567,8 +575,10 @@ def eval_elo_warmup(
 
     def compile_now():
         # AOT trace+compile through the SAME jit wrapper so the executable
-        # lands in its dispatch cache and the later eval_elo call reuses it.
-        fn.lower(training_mgr, eval_sim_ctrl, train_sim_ctrl).compile()
+        # lands in its dispatch cache and the later eval_elo call reuses it
+        # (pair_offset must match eval_elo's traced-int32 signature).
+        fn.lower(training_mgr, eval_sim_ctrl, train_sim_ctrl,
+                 jnp.asarray(0, jnp.int32)).compile()
 
     if block:
         compile_now()
@@ -587,9 +597,15 @@ def eval_elo(
     num_eval_steps: int,
     eval_sim_ctrl: jax.Array,
     train_sim_ctrl: jax.Array,
+    pair_offset: Union[int, jax.Array] = 0,
 ):
     """All-pairs static-matchmaking tournament; returns updated Elos
     (re-baselined to 1500 against the baseline policy) + deltas.
+
+    ``pair_offset`` rotates which pairings occupy the match slots; advance
+    it per eval cycle (e.g. by the update index) so an underfilled batch
+    sweeps coverage across all pairings over successive tournaments. It is
+    a traced argument — changing it does not recompile.
 
     The tournament is jitted and cached per (manager, num_eval_steps), so
     in-loop tournaments pay compile time once — repeated eager calls reuse
@@ -608,13 +624,15 @@ def eval_elo(
     ``eval_elo_warmup`` pre-compiles this program in the background so the
     first in-loop tournament doesn't stall on XLA."""
     fn = _tournament_fn(training_mgr, num_eval_steps)
-    return fn(training_mgr, eval_sim_ctrl, train_sim_ctrl)
+    return fn(training_mgr, eval_sim_ctrl, train_sim_ctrl,
+              jnp.asarray(pair_offset, jnp.int32))
 
 
 def _eval_elo_impl(
     training_mgr: TrainingManager,
     eval_sim_ctrl: jax.Array,
     train_sim_ctrl: jax.Array,
+    pair_offset: jax.Array = 0,
     *,
     num_eval_steps: int,
 ):
@@ -638,7 +656,8 @@ def _eval_elo_impl(
 
     static_assignments = _build_all_pairs_assignments(
         num_eval_policies, train_cfg.custom_policy_ids, sim_batch_size,
-        rollout_state.cfg.pbt.num_teams, rollout_state.cfg.pbt.team_size)
+        rollout_state.cfg.pbt.num_teams, rollout_state.cfg.pbt.team_size,
+        pair_offset=pair_offset)
 
     rollout_state = rollout_state.update_matchmaking(
         0.0, 0.0, 0.0, 1.0, static_assignments)

@@ -300,3 +300,41 @@ def test_eval_elo_warmup_precompiles_tournament():
     _, deltas = mlt.eval_elo(mgr3, **kwargs)
     jax.block_until_ready(deltas)
     assert time.perf_counter() - t0 < cold / 4
+
+
+def test_pair_offset_rotates_underfilled_coverage():
+    """Advancing eval_elo's pair_offset must hand the previously-dropped
+    pairings match slots on later cycles (coverage sweeps instead of
+    always starving the same tail), without retracing the tournament."""
+    from madrona_learn_tpu.train import _build_all_pairs_assignments
+
+    num_policies, teams, team_size = 3, 2, 1
+    num_pairs = num_policies * num_policies  # 9 pairings
+    slots = 4                                # underfilled
+    sim_batch = slots * teams * team_size
+
+    def pairs_at(offset):
+        with pytest.warns(UserWarning, match="underfilled"):
+            a = np.asarray(_build_all_pairs_assignments(
+                num_policies, (), sim_batch, teams, team_size,
+                pair_offset=offset))
+        return set(map(tuple, a.reshape(slots, teams).tolist()))
+
+    covered = set()
+    for cycle in range(3):
+        covered |= pairs_at(cycle * slots)
+    assert len(covered) == min(3 * slots, num_pairs)
+
+    # Traced offset: one compile serves every rotation.
+    mgr = build_training_mgr(seed=103)
+    kwargs = dict(
+        num_eval_steps=8,
+        eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
+        train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+    import time
+    with pytest.warns(UserWarning):
+        mgr, _ = mlt.eval_elo(mgr, pair_offset=0, **kwargs)
+    t0 = time.perf_counter()
+    mgr, _ = mlt.eval_elo(mgr, pair_offset=7, **kwargs)
+    assert time.perf_counter() - t0 < 5  # cache hit, no retrace
+    assert np.isfinite(np.asarray(mgr.state.policy_states.mmr.elo)).all()
