@@ -217,7 +217,10 @@ def run_bench():
     }))
 
 
-class _WallLimit(Exception):
+class _WallLimit(BaseException):
+    # BaseException on purpose: the retry loops catch broad Exception (any
+    # backend error is retriable), but the watchdog firing means wall-clock
+    # is exhausted — it must reach main()'s handler, not be retried.
     pass
 
 
@@ -257,7 +260,7 @@ def main():
             if can_alarm:
                 signal.alarm(0)
             return 0
-        except Exception as err:  # noqa: BLE001 — convert to JSON record
+        except (Exception, _WallLimit) as err:  # noqa: BLE001 — to JSON
             if can_alarm:
                 signal.alarm(0)
             last_err = err

@@ -112,13 +112,16 @@ def main():
     # eval_elo jits + caches the tournament internally; warm its compile
     # on a background thread while the first updates run.
     mlt.eval_elo_warmup(mgr, **eval_kwargs)
-    run_eval = lambda m: mlt.eval_elo(m, **eval_kwargs)
+    # pair_offset sweeps all-pairs coverage across cycles when the batch
+    # underfills the pairing list (traced arg: no recompilation).
+    run_eval = lambda m, cycle: mlt.eval_elo(
+        m, pair_offset=cycle, **eval_kwargs)
     evolve = jax.jit(mlt.update_population)
 
     for i in range(args.num_updates):
         mgr = update(mgr)
         if (i + 1) % args.eval_interval == 0:
-            mgr, deltas = run_eval(mgr)
+            mgr, deltas = run_eval(mgr, (i + 1) // args.eval_interval)
             mgr = evolve(mgr)
             elos = np.asarray(mgr.state.policy_states.mmr.elo)
             lrs = np.asarray(mgr.state.train_states.hyper_params.lr)

@@ -125,7 +125,10 @@ def main():
             mgr, deltas = mlt.eval_elo(
                 mgr, num_eval_steps=16,
                 eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
-                train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+                train_sim_ctrl=jnp.zeros((1,), jnp.int32),
+                # Rotate all-pairs coverage across cycles (underfilled
+                # batches otherwise starve the same pairing tail).
+                pair_offset=(i + 1) // args.eval_interval)
             mgr = mlt.update_population(mgr)
             elos = np.asarray(jax.device_get(
                 mgr.state.policy_states.mmr.elo))

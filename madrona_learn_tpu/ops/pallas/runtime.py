@@ -21,10 +21,11 @@ def pallas_backend_ok() -> bool:
     Three conditions, each load-bearing:
 
     1. A real TPU backend. An explicitly pinned ``jax_default_device``
-       wins (``jax.default_backend()`` reports the primary backend even
-       when computation is pinned elsewhere, e.g. CPU-mesh dryruns) —
-       and a pinned single TPU device counts as single-device even on a
-       multi-chip host (the single-chip-of-a-pod serving case).
+       decides the platform check (``jax.default_backend()`` reports the
+       primary backend even when computation is pinned elsewhere, e.g.
+       CPU-mesh dryruns) but grants nothing else — the multi-device
+       checks below still apply; a pinned-to-one-chip serving process on
+       a multi-chip host opts in via ``MADRONA_LEARN_TPU_FORCE_PALLAS=1``.
     2. Otherwise: single-device process, OR the trace is inside a
        shard_map that is manual over EVERY mesh axis. Mosaic custom calls
        cannot be automatically partitioned — a multi-device GSPMD jit

@@ -216,6 +216,23 @@ def _manual_learn_enabled(cfg: TrainConfig) -> bool:
     return True
 
 
+def _warn_manual_learn_hooks(cfg: TrainConfig, user_hooks: TrainHooks):
+    """One-time heads-up for user hooks that predate the manual region."""
+    if not _manual_learn_enabled(cfg):
+        return
+    overridden = (type(user_hooks).optimize_metrics
+                  is not TrainHooks.optimize_metrics)
+    if overridden:
+        warnings.warn(
+            "manual_learn is active (multi-device mesh): your overridden "
+            "TrainHooks.optimize_metrics now runs inside a shard_map "
+            "region and receives only this data shard's slice of each "
+            "minibatch. Record cross-shard-consistent metrics with "
+            "metrics.record(..., axis_name=\"data\"), or disable the "
+            "manual region with MeshConfig(manual_learn=False).",
+            stacklevel=3)
+
+
 def _update_impl(
     algo: AlgoBase,
     cfg: TrainConfig,
@@ -359,6 +376,8 @@ def _init_training(cfg, sim_fns, policy, sim_ctrl, user_hooks, restore_ckpt,
                    profile_port):
     if profile_port is not None:
         jax.profiler.start_server(profile_port)
+
+    _warn_manual_learn_hooks(cfg, user_hooks)
 
     algo = cfg.algo.setup()
 

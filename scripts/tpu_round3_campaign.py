@@ -39,6 +39,12 @@ def section(name, fn, skip):
         fn()
         print(f"=== {name} OK ({time.perf_counter() - t0:.0f}s) ===",
               flush=True)
+    except SystemExit as e:
+        # runpy'd scripts call sys.exit(); rc 0/None is success, anything
+        # else a section failure — either way the campaign continues.
+        status = "OK" if not e.code else f"FAILED (exit {e.code})"
+        print(f"=== {name} {status} ({time.perf_counter() - t0:.0f}s) ===",
+              flush=True)
     except Exception:
         traceback.print_exc()
         print(f"=== {name} FAILED ({time.perf_counter() - t0:.0f}s) ===",
