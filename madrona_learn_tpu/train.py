@@ -548,24 +548,39 @@ def _build_all_pairs_assignments(num_eval_policies, custom_policy_ids,
     return assignments
 
 
-# Compiled-tournament cache, bounded: each entry pins a compiled program
-# (host + device memory), and long-lived processes may build many managers
-# (sweeps, tests), so evict oldest beyond a small working set.
-_ELO_TOURNAMENT_CACHE: "OrderedDict[Any, Callable]" = OrderedDict()
-_ELO_TOURNAMENT_CACHE_MAX = 8
+# Compiled PBT-outer-loop cache, bounded: each entry pins a compiled
+# program (host + device memory), and long-lived processes may build many
+# managers (sweeps, tests), so evict oldest beyond a small working set.
+# Holds both the Elo-tournament and the population-update jits (the two
+# host-driven PBT outer-loop programs; everything else lives inside the
+# resident update step).
+_PBT_OUTER_CACHE: "OrderedDict[Any, Callable]" = OrderedDict()
+_PBT_OUTER_CACHE_MAX = 16
+
+
+def _pbt_outer_fn(key, make):
+    fn = _PBT_OUTER_CACHE.get(key)
+    if fn is None:
+        fn = make()
+        _PBT_OUTER_CACHE[key] = fn
+        while len(_PBT_OUTER_CACHE) > _PBT_OUTER_CACHE_MAX:
+            _PBT_OUTER_CACHE.popitem(last=False)
+    else:
+        _PBT_OUTER_CACHE.move_to_end(key)
+    return fn
 
 
 def _tournament_fn(training_mgr, num_eval_steps):
-    key = (id(training_mgr.update_fn), num_eval_steps)
-    fn = _ELO_TOURNAMENT_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(partial(_eval_elo_impl, num_eval_steps=num_eval_steps))
-        _ELO_TOURNAMENT_CACHE[key] = fn
-        while len(_ELO_TOURNAMENT_CACHE) > _ELO_TOURNAMENT_CACHE_MAX:
-            _ELO_TOURNAMENT_CACHE.popitem(last=False)
-    else:
-        _ELO_TOURNAMENT_CACHE.move_to_end(key)
-    return fn
+    return _pbt_outer_fn(
+        ("elo", id(training_mgr.update_fn), num_eval_steps),
+        lambda: jax.jit(
+            partial(_eval_elo_impl, num_eval_steps=num_eval_steps)))
+
+
+def _population_update_fn(training_mgr):
+    return _pbt_outer_fn(
+        ("evolve", id(training_mgr.update_fn)),
+        lambda: jax.jit(_update_population_impl))
 
 
 def eval_elo_warmup(
@@ -575,7 +590,8 @@ def eval_elo_warmup(
     train_sim_ctrl: jax.Array,
     block: bool = False,
 ):
-    """Compile the Elo tournament ahead of its first use, without running it.
+    """Compile the Elo tournament and the population update ahead of their
+    first use, without running them.
 
     The tournament program is large (a full static-matchmaking rollout
     loop) and its first in-loop compile historically dominated the first
@@ -591,13 +607,20 @@ def eval_elo_warmup(
     synchronously as before.
     """
     fn = _tournament_fn(training_mgr, num_eval_steps)
+    evolve_fn = _population_update_fn(training_mgr)
 
     def compile_now():
-        # AOT trace+compile through the SAME jit wrapper so the executable
-        # lands in its dispatch cache and the later eval_elo call reuses it
-        # (pair_offset must match eval_elo's traced-int32 signature).
+        # AOT trace+compile through the SAME jit wrappers the in-loop calls
+        # use: the lowering lands in pjit's executable cache, so the later
+        # eval_elo / update_population calls retrace (cheap) but skip the
+        # XLA compile (pair_offset must match eval_elo's traced-int32
+        # signature). The population update is warmed too — round-3
+        # campaign measurement showed an un-warmed eager update_population
+        # costing ~110s of per-op first-call compiles at BASELINE config #4
+        # scale while the warmed tournament itself was fast.
         fn.lower(training_mgr, eval_sim_ctrl, train_sim_ctrl,
                  jnp.asarray(0, jnp.int32)).compile()
+        evolve_fn.lower(training_mgr).compile()
 
     if block:
         compile_now()
@@ -741,8 +764,20 @@ def _eval_elo_impl(
     ), elo_deltas
 
 
-def update_population(training_mgr: TrainingManager, elo_deltas=None):
+def _update_population_impl(training_mgr: TrainingManager):
     state = training_mgr.state
     state = pbt_cull_update(training_mgr.cfg, state, 1)
     state = pbt_past_update(training_mgr.cfg, state)
     return training_mgr.replace(state=state)
+
+
+def update_population(training_mgr: TrainingManager, elo_deltas=None):
+    """Cull/past population evolution (reference: train.py:568-574).
+
+    Jitted and cached per manager like ``eval_elo`` — an eager call would
+    otherwise pay one first-call XLA compile per op of the cull/past
+    programs (~110s measured at BASELINE config #4 scale on TPU), and
+    repeated in-loop calls reuse the compiled program. ``eval_elo_warmup``
+    pre-compiles this too. Wrapping the call in an outer ``jax.jit`` stays
+    supported (the inner jit inlines)."""
+    return _population_update_fn(training_mgr)(training_mgr)

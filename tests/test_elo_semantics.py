@@ -291,6 +291,21 @@ def test_eval_elo_warmup_precompiles_tournament():
     assert first_call < cold / 4, (cold, warm_compile, first_call)
     assert np.isfinite(np.asarray(mgr2.state.policy_states.mmr.elo)).all()
 
+    # The population update is warmed too (round-3 campaign: an un-warmed
+    # update_population cost ~110s of first-call compiles at config #4
+    # scale on TPU while the warmed tournament itself was fast).
+    t0 = time.perf_counter()
+    mgr_cold2 = mlt.update_population(mgr_cold)
+    jax.block_until_ready(mgr_cold2.state.policy_states.mmr.elo)
+    cold_evolve = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mgr2b = mlt.update_population(mgr2)
+    jax.block_until_ready(mgr2b.state.policy_states.mmr.elo)
+    warm_evolve = time.perf_counter() - t0
+    assert warm_evolve < max(cold_evolve / 4, 0.25), (
+        cold_evolve, warm_evolve)
+
     # Async warmup overlaps compile on a thread and must be joinable.
     mgr3 = build_training_mgr(seed=45)
     thread = mlt.eval_elo_warmup(mgr3, block=False, **kwargs)
