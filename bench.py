@@ -55,6 +55,7 @@ def build_actor_critic(dtype):
     )
 
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+    on_tpu = jax.default_backend() == "tpu"
     actor_critic = ActorCritic(
         backbone=BackboneShared(
             prefix=lambda obs, train: jnp.concatenate(
@@ -67,7 +68,15 @@ def build_actor_critic(dtype):
                 # gate math so both forwards agree.
                 rnn=LSTM(num_hidden_channels=CHANNELS, num_layers=1,
                          dtype=dtype, seq_unroll=LSTM_UNROLL,
-                         use_pallas=(jax.default_backend() == "tpu")),
+                         use_pallas=on_tpu),
+                # use_fused_step (the whole-trunk rollout-step kernel) is
+                # measurably SLOWER here: with an in-graph sim, XLA fuses
+                # the sim/store elementwise work into the policy chain's
+                # kernels, which an opaque pallas_call forecloses
+                # (same-process A/B: 36.2 vs 39.3 ms/update — see
+                # docs/kernels.md "fused policy step"). Enable it only for
+                # opaque external simulators.
+                use_fused_step=False,
             ),
         ),
         actor=DictActor(heads={

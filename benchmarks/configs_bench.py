@@ -250,12 +250,20 @@ def config5_multihost_dryrun():
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                JAX_PLATFORMS="cpu")
+    # The env vars alone are not enough on boxes whose sitecustomize pins
+    # the platform via jax.config.update (it overrides JAX_PLATFORMS —
+    # see tests/conftest.py); force the config in-process too, else the
+    # subprocess grabs the TPU backend (or fails while another process
+    # holds the tunnel) and the dryrun verdict records a false failure.
     proc = subprocess.run(
         [sys.executable, "-c",
          "import sys; sys.path.insert(0, '.'); "
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         capture_output=True, text=True, env=env, timeout=900)
     ok = proc.returncode == 0
+    if not ok:
+        print(proc.stderr[-2000:], file=sys.stderr)
     return {"dryrun_8dev_ok": ok,
             "note": ("32-policy/64k-env shape validated for correctness "
                      "on virtual meshes (tests/test_sharding.py::"

@@ -151,10 +151,27 @@ class BackboneEncoder(nn.Module):
 
 
 class RecurrentBackboneEncoder(nn.Module):
-    """net -> rnn tower with a scan-based sequence path for BPTT."""
+    """net -> rnn tower with a scan-based sequence path for BPTT.
+
+    ``use_fused_step=True`` routes the single-step (rollout-time) forward
+    through one Pallas kernel fusing the whole MLP+LSTM trunk
+    (ops/pallas/policy_step.py) when the tower matches the supported
+    pattern (``MLP`` net + single-layer ``LSTM``); the collect phase is
+    dominated by exactly this forward's kernel-boundary HBM traffic
+    (benchmarks/collect_ablation.py). Off-TPU (and under multi-device
+    GSPMD traces, where Mosaic custom calls can't be partitioned —
+    docs/kernels.md) the jnp twin runs instead, keeping the same math on
+    every backend. The param tree is identical either way — the fused path
+    only READS the module params — so checkpoints stay interchangeable.
+    The update-time sequence pass is unchanged; its LayerNorm rounds
+    intermediates where the fused step computes the normalize+affine chain
+    in fp32, a <=1-ulp(bf16) forward divergence covered by
+    tests/test_fused_policy_step.py's rollout-vs-update ratio bound.
+    """
 
     net: nn.Module
     rnn: nn.Module
+    use_fused_step: bool = False
 
     @nn.nowrap
     def init_recurrent_state(self, N):
@@ -167,7 +184,47 @@ class RecurrentBackboneEncoder(nn.Module):
     def setup(self):
         pass
 
+    def _fused_step_applicable(self, inputs):
+        from ..ops.pallas.policy_step import policy_step_supported
+        from .common import MLP
+        from .lstm import LSTM
+
+        if not (isinstance(self.net, MLP) and isinstance(self.rnn, LSTM)
+                and self.rnn.num_layers == 1 and len(inputs) == 1):
+            return False
+        x = inputs[0]
+        return (isinstance(x, jax.Array) and x.ndim == 2
+                and policy_step_supported(
+                    self.rnn.num_hidden_channels, x.shape[-1],
+                    self.rnn.dtype))
+
+    def _fused_step(self, rnn_states_in, x):
+        from ..ops.pallas.policy_step import (
+            fused_policy_step, fused_policy_step_reference)
+        from ..ops.pallas.runtime import pallas_backend_ok
+
+        params = self.variables["params"]
+        net_p, rnn_p = params["net"], params["rnn"]
+        mlp = [
+            (net_p[f"Dense_{i}"]["kernel"],
+             net_p[f"LayerNorm_{i}"]["impl"]["scale"],
+             net_p[f"LayerNorm_{i}"]["impl"]["bias"])
+            for i in range(self.net.num_layers)
+        ]
+        cell = rnn_p["layer_0"]
+        wi = cell["input_proj"]["kernel"]
+        wr, b = cell["recurrent_kernel"], cell["bias"]
+
+        c_in, h_in = rnn_states_in  # [N, 1, H]
+        fn = (fused_policy_step if pallas_backend_ok()
+              else fused_policy_step_reference)
+        out, (c, h) = fn(x, mlp, wi, wr, b, c_in[:, 0], h_in[:, 0])
+        return out, (c[:, None], h[:, None])
+
     def __call__(self, rnn_states_in, *inputs, train):
+        if (self.use_fused_step and not self.is_initializing()
+                and self._fused_step_applicable(inputs)):
+            return self._fused_step(rnn_states_in, inputs[0])
         features = self.net(*inputs, train=train)
         return self.rnn(rnn_states_in, features, train)
 

@@ -87,6 +87,40 @@ def main():
     results.append(check(
         "pallas fused GRU sequence", err < 1e-4, f"max err {err:.2e}"))
 
+    from madrona_learn_tpu.ops.pallas.policy_step import (
+        fused_policy_step, fused_policy_step_reference)
+
+    # fp32 check at F=128: with a full-lane feature dim both the kernel and
+    # the XLA twin run the first matmul on the MXU (default 1-pass bf16
+    # precision), so the comparison is tight. At the production F=3 XLA
+    # evaluates the tiny-K dot exactly on the VPU while the kernel's
+    # lane-padded dot uses the MXU's bf16 pass — an implementation-choice
+    # divergence (~1e-3 in fp32) that is moot in bf16, where the operands
+    # are pre-rounded; the bf16 F=3 check below covers the production case.
+    def policy_step_check(Fp, dtype, bound, label):
+        xs = jnp.asarray(rng.normal(size=(N, Fp)), jnp.float32).astype(dtype)
+        mlp_ps = []
+        fin = Fp
+        for _ in range(2):
+            mlp_ps.append((
+                jnp.asarray(rng.normal(size=(fin, H)) * 0.2, dtype),
+                jnp.asarray(1 + 0.1 * rng.normal(size=(H,)), jnp.float32),
+                jnp.asarray(0.1 * rng.normal(size=(H,)), jnp.float32)))
+            fin = H
+        wi = jnp.asarray(rng.normal(size=(H, 4 * H)) * 0.1, dtype)
+        a = (wr.astype(dtype), lb, c0.astype(dtype), h0.astype(dtype))
+        got = fused_policy_step(xs, mlp_ps, wi, *a)
+        want = fused_policy_step_reference(xs, mlp_ps, wi, *a)
+        err = max(
+            float(jnp.max(jnp.abs(x.astype(jnp.float32)
+                                  - y.astype(jnp.float32))))
+            for x, y in zip(jax.tree.leaves(got), jax.tree.leaves(want)))
+        results.append(check(label, err < bound, f"max err {err:.2e}"))
+
+    policy_step_check(128, jnp.float32, 1e-4, "pallas fused policy step")
+    policy_step_check(3, jnp.bfloat16, 2e-2,
+                      "pallas fused policy step (bf16, F=3)")
+
     from madrona_learn_tpu.ops.pallas.attention import mha_flash
 
     qf = jnp.asarray(rng.normal(size=(4, 256, 2, 32)), jnp.float32)
