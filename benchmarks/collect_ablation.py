@@ -23,7 +23,6 @@ Run: python benchmarks/collect_ablation.py [--iters 5]
 import argparse
 import json
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, ".")
@@ -32,15 +31,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-
-def time_compiled(compiled, args, sync, n):
-    out = compiled(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / n
+try:
+    from _timing import time_compiled  # script-style run
+except ImportError:  # runpy from the repo root (campaign runner)
+    from benchmarks._timing import time_compiled
 
 
 def main():

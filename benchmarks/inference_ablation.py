@@ -17,7 +17,6 @@ and each head. Run: python benchmarks/inference_ablation.py [--iters 5]
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -25,15 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-
-def time_compiled(compiled, args, sync, n):
-    out = compiled(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / n
+try:
+    from _timing import time_compiled  # script-style run
+except ImportError:  # runpy from the repo root (campaign runner)
+    from benchmarks._timing import time_compiled
 
 
 def main():

@@ -185,12 +185,28 @@ class RecurrentBackboneEncoder(nn.Module):
         pass
 
     def _fused_step_applicable(self, inputs):
+        import jax.numpy as jnp
+
         from ..ops.pallas.policy_step import policy_step_supported
         from .common import MLP
         from .lstm import LSTM
 
         if not (isinstance(self.net, MLP) and isinstance(self.rnn, LSTM)
                 and self.rnn.num_layers == 1 and len(inputs) == 1):
+            return False
+        # The kernel assumes one dtype and one width through the whole
+        # trunk (LN scales reshape to the LSTM hidden), and at least one
+        # MLP layer; mismatched towers fall back to the flax path instead
+        # of crashing or silently changing precision.
+        if not (self.net.num_layers >= 1
+                and self.net.num_channels == self.rnn.num_hidden_channels
+                and self.net.dtype == self.rnn.dtype):
+            return False
+        # Consistency with the update-time sequence pass: the kernel runs
+        # fp32 precise-gates math, which the bf16 sequence pass only
+        # matches when LSTM(use_pallas=True) (models/lstm.py). In fp32 the
+        # two conventions coincide exactly.
+        if not (self.rnn.use_pallas or self.rnn.dtype == jnp.float32):
             return False
         x = inputs[0]
         return (isinstance(x, jax.Array) and x.ndim == 2

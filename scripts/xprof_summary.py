@@ -50,17 +50,25 @@ def load_events(trace_file):
 
 
 def self_times(events):
-    """Nesting-aware self time per op name (children subtracted)."""
+    """Nesting-aware self time per op name (children subtracted).
+
+    Stacked PER (pid, tid) lane: on multi-device traces, concurrent ops
+    from different lanes are not each other's children — one global stack
+    would subtract device B's time from device A's enclosing op."""
     out = collections.Counter()
-    stack = []
-    for e in sorted(events, key=lambda e: (e["ts"], -e.get("dur", 0))):
-        ts, dur = e["ts"], e.get("dur", 0)
-        while stack and stack[-1][1] <= ts:
-            stack.pop()
-        if stack:
-            out[stack[-1][2]] -= dur
-        out[e["name"]] += dur
-        stack.append((ts, ts + dur, e["name"]))
+    by_lane = collections.defaultdict(list)
+    for e in events:
+        by_lane[(e["pid"], e.get("tid"))].append(e)
+    for lane_events in by_lane.values():
+        stack = []
+        for e in sorted(lane_events, key=lambda e: (e["ts"], -e.get("dur", 0))):
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][1] <= ts:
+                stack.pop()
+            if stack:
+                out[stack[-1][2]] -= dur
+            out[e["name"]] += dur
+            stack.append((ts, ts + dur, e["name"]))
     return out
 
 

@@ -199,6 +199,41 @@ def test_training_with_fused_step_matches_unfused():
     np.testing.assert_allclose(rew_f, rew_u, rtol=1e-5)
 
 
+def test_mismatched_towers_fall_back():
+    """Applicability gate: towers the kernel can't serve (width or dtype
+    mismatch, bf16 without use_pallas) must fall back to the flax path and
+    still run correctly rather than crash or change precision."""
+    N, F = 16, 3
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
+
+    def check(enc, x):
+        rnn0 = enc.init_recurrent_state(N)
+        v = enc.init(jax.random.PRNGKey(1), rnn0, x, train=False)
+        out, _ = enc.apply(v, rnn0, x, train=False)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # MLP wider than the LSTM hidden.
+    check(RecurrentBackboneEncoder(
+        net=MLP(num_channels=256, num_layers=1, dtype=jnp.float32),
+        rnn=LSTM(num_hidden_channels=128, num_layers=1, dtype=jnp.float32),
+        use_fused_step=True), x32)
+    # Mixed dtypes across the trunk.
+    check(RecurrentBackboneEncoder(
+        net=MLP(num_channels=128, num_layers=1, dtype=jnp.float32),
+        rnn=LSTM(num_hidden_channels=128, num_layers=1, dtype=jnp.bfloat16),
+        use_fused_step=True), x32)
+    # bf16 without use_pallas: sequence pass would use bf16 gate math, so
+    # the fused (fp32 precise-gates) single step must NOT engage.
+    enc = RecurrentBackboneEncoder(
+        net=MLP(num_channels=128, num_layers=1, dtype=jnp.bfloat16),
+        rnn=LSTM(num_hidden_channels=128, num_layers=1, dtype=jnp.bfloat16,
+                 use_pallas=False),
+        use_fused_step=True)
+    assert not enc._fused_step_applicable(
+        (x32.astype(jnp.bfloat16),))
+    check(enc, x32.astype(jnp.bfloat16))
+
+
 def test_fused_encoder_under_policy_vmap():
     """The rollout engine vmaps the policy forward over stacked per-policy
     params; the fused path must batch correctly."""
