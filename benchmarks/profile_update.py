@@ -31,14 +31,10 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def time_compiled(compiled, args, sync, n=5):
-    out = compiled(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = compiled(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / n, out
+try:
+    from _timing import time_compiled  # script-style run
+except ImportError:  # runpy from the repo root (campaign runner)
+    from benchmarks._timing import time_compiled
 
 
 def main():
@@ -109,7 +105,7 @@ def main():
     update = jax.jit(lambda m: m.update_iter())
     update_c = update.lower(mgr).compile()
 
-    full_dt, _ = time_compiled(
+    full_dt = time_compiled(
         update_c, (mgr,),
         lambda m: jax.device_get(m.metrics.metrics["Loss"].mean),
         n=args.updates)
@@ -134,7 +130,7 @@ def main():
         return out[2]  # rollout_data
 
     collect_c = jax.jit(collect_only).lower(mgr.state, mgr.rollout).compile()
-    collect_dt, _ = time_compiled(
+    collect_dt = time_compiled(
         collect_c, (mgr.state, mgr.rollout),
         lambda rd: jax.device_get(
             jax.tree.leaves(rd.data)[0][0, 0]),
