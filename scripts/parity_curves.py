@@ -11,7 +11,7 @@ mean rewards of the two implementations overlap within the cross-seed spread.
 
 Usage:
     env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/parity_curves.py \
-        [--config base|valuenorm] [--updates 30] [--worlds 256] \
+        [--config base|valuenorm|dreamer] [--updates 30] [--worlds 256] \
         [--seeds 3] [--json out.json]
 
 Configs (VERDICT r2 item 5: deepen parity to where the semantics bite):
@@ -21,6 +21,18 @@ Configs (VERDICT r2 item 5: deepen parity to where the semantics bite):
   normalizer inversion inside GAE (reference: rollouts.py:726-741) and
   the critic-loss EMA update (reference: ppo.py:169-218,
   moving_avg.py:131-181).
+- ``dreamer``: same but with the DreamerV3 distributional critic —
+  exercises the two-hot cross-entropy critic loss + symexp value decode
+  (reference: models.py:157-174, ppo.py:169-177) where this repo
+  deliberately corrected the two-hot interpolation weights, so the
+  check is curve-level (within seed variance), not bitwise. Measured
+  divergence IN OUR FAVOR is expected here (see ``dreamer_swapped``).
+- ``dreamer_swapped``: controlled experiment isolating the cause of the
+  ``dreamer`` gap — runs OUR stack with the reference's swapped two-hot
+  weights (reference dists.py:193-200 puts more mass on the *farther*
+  bin) patched in. If this matches the reference within seed variance
+  while ``dreamer`` does not, the divergence is attributable to the
+  corrected interpolation and nothing else.
 
 With --json, results are MERGED into the file under the config name.
 """
@@ -54,11 +66,48 @@ def _curve_from_metrics(metric_mean):
     return float(np.nanmean(np.asarray(metric_mean, np.float64)))
 
 
-def run_ours(seed, num_updates, num_worlds, normalize_values=False):
+def _patch_swapped_two_hot():
+    """Replace our corrected two-hot target weights with the reference's
+    swapped weighting (reference dists.py:185-200: weight_lower =
+    dist_to_lower / total, i.e. the farther bin gets more mass) so the
+    dreamer_swapped control run reproduces the reference's exact critic
+    semantics on top of our stack."""
+    import jax.numpy as jnp
+    from madrona_learn_tpu.ops import dists as d
+
+    def swapped_loss(self, targets):
+        assert targets.dtype == jnp.float32
+        bins = self._compute_bins()
+        num_bins = bins.shape[-1]
+        lower_idx = (bins <= targets).astype(jnp.int32).sum(axis=-1) - 1
+        upper_idx = num_bins - (bins > targets).astype(jnp.int32).sum(axis=-1)
+        lower_idx = jnp.clip(lower_idx, 0, num_bins - 1)
+        upper_idx = jnp.clip(upper_idx, 0, num_bins - 1)
+        same_bin = lower_idx == upper_idx
+        dist_lower = jnp.where(
+            same_bin[..., None], 1.0, jnp.abs(bins[lower_idx, None] - targets))
+        dist_upper = jnp.where(
+            same_bin[..., None], 1.0, jnp.abs(bins[upper_idx, None] - targets))
+        total = dist_lower + dist_upper
+        target_two_hot = (
+            jax.nn.one_hot(lower_idx, num_bins) * (dist_lower / total)
+            + jax.nn.one_hot(upper_idx, num_bins) * (dist_upper / total)
+        )
+        log_probs = self.logits - jax.nn.logsumexp(
+            self.logits, axis=-1, keepdims=True)
+        return -(target_two_hot * log_probs).sum(-1, keepdims=True)
+
+    d.SymExpTwoHotDistribution.two_hot_cross_entropy_loss = swapped_loss
+
+
+def run_ours(seed, num_updates, num_worlds, normalize_values=False,
+             dreamer_critic=False, swapped_two_hot=False):
+    if swapped_two_hot:
+        _patch_swapped_two_hot()
     import madrona_learn_tpu as mlt
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
     from madrona_learn_tpu.models import (
-        ActorCritic, BackboneShared, DenseLayerCritic,
+        ActorCritic, BackboneShared, DenseLayerCritic, DreamerV3Critic,
         DenseLayerDiscreteActor, DictActor, LSTM, MLP,
         RecurrentBackboneEncoder)
 
@@ -78,7 +127,8 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False):
                          dtype=jnp.float32))),
         actor=DictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
-        critic=DenseLayerCritic(dtype=jnp.float32))
+        critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
+                else DenseLayerCritic(dtype=jnp.float32)))
     policy = mlt.Policy(
         actor_critic=ac,
         obs_preprocess=mlt.ObservationsEMANormalizer.create(
@@ -92,7 +142,7 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False):
         algo=mlt.PPOConfig(
             num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
             value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
-        dreamer_v3_critic=False,
+        dreamer_v3_critic=dreamer_critic,
         normalize_values=normalize_values)
 
     mgr = mlt.init_training(None, cfg, sim_fns, policy,
@@ -106,7 +156,8 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False):
     return curve
 
 
-def run_reference(seed, num_updates, num_worlds, normalize_values=False):
+def run_reference(seed, num_updates, num_worlds, normalize_values=False,
+                  dreamer_critic=False):
     sys.path.insert(0, REF_SRC)
     import flax
     import flax.linen as nn
@@ -114,7 +165,7 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False):
     from flax.core import FrozenDict
     from jax import random
     from madrona_learn.models import (
-        MLP, DenseLayerCritic, DenseLayerDiscreteActor)
+        MLP, DenseLayerCritic, DenseLayerDiscreteActor, DreamerV3Critic)
     from madrona_learn.rnn import LSTM
 
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
@@ -171,7 +222,8 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False):
                          dtype=jnp.float32))),
         actor=RefDictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
-        critic=DenseLayerCritic(dtype=jnp.float32))
+        critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
+                else DenseLayerCritic(dtype=jnp.float32)))
     policy = ml.Policy(
         actor_critic=ac,
         obs_preprocess=ml.ObservationsEMANormalizer.create(
@@ -186,7 +238,7 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False):
             num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
             value_loss_coef=0.5, entropy_coef={"move": 0.01},
             max_grad_norm=0.5),
-        dreamer_v3_critic=False,
+        dreamer_v3_critic=dreamer_critic,
         normalize_values=normalize_values)
 
     mgr = ml.init_training(jax.devices()[0], cfg, sim_fns, policy,
@@ -202,7 +254,9 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", choices=("base", "valuenorm"),
+    parser.add_argument("--config",
+                        choices=("base", "valuenorm", "dreamer",
+                                 "dreamer_swapped"),
                         default="base")
     parser.add_argument("--updates", type=int, default=30)
     parser.add_argument("--worlds", type=int, default=256)
@@ -211,14 +265,17 @@ def main():
     args = parser.parse_args()
 
     normalize_values = args.config == "valuenorm"
+    dreamer_critic = args.config in ("dreamer", "dreamer_swapped")
+    swapped_two_hot = args.config == "dreamer_swapped"
     ref_curves, our_curves = [], []
     for s in range(args.seeds):
         print(f"--- reference seed {s} ({args.config}) ---", flush=True)
         ref_curves.append(run_reference(
-            s, args.updates, args.worlds, normalize_values))
+            s, args.updates, args.worlds, normalize_values, dreamer_critic))
         print(f"--- ours seed {s} ({args.config}) ---", flush=True)
         our_curves.append(run_ours(
-            s, args.updates, args.worlds, normalize_values))
+            s, args.updates, args.worlds, normalize_values, dreamer_critic,
+            swapped_two_hot))
 
     ref = np.asarray(ref_curves)   # [seeds, updates]
     ours = np.asarray(our_curves)
