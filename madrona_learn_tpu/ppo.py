@@ -125,6 +125,57 @@ class PPO(AlgoBase):
         })
 
 
+def _scaler_value_and_grad_manual(scaler, loss_fn, params, data_axis):
+    """fp16 DynamicScale step inside the manual shard_map learn region.
+
+    ``loss_fn`` pmeans the loss value over ``data_axis``, so each shard's
+    AD yields the gradient of its local minibatch-slice mean and the
+    global mean's gradient is the *pmean* of the shard gradients (same
+    contract as the non-scaled branch in _ppo_update; this matches what
+    flax's ``value_and_grad(axis_name=...)`` does for pmap). This
+    reimplements the flax wrapper
+    (flax/training/dynamic_scale.py::DynamicScale.value_and_grad; scale
+    update rule reproduced exactly): differentiate the scaled loss, pmean
+    the unscaled fp32 shard gradients, then derive finiteness — and hence
+    the scale/fin_steps update — from the GLOBAL gradient. The collective
+    propagates non-finite entries to every shard, so ``is_finite`` and the
+    new scale are shard-invariant by construction, with no extra
+    collective: every shard steps its replicated DynamicScale identically.
+
+    Returns ``(new_scaler, is_finite, (loss, aux), grads)`` with the same
+    shapes/dtypes as the flax wrapper (fp32 unscaled grads).
+    """
+    scale = scaler.scale
+
+    def scaled_loss_fn(p):
+        loss, aux_inner = loss_fn(p)
+        return scale * loss, aux_inner
+
+    aux, grads = jax.value_and_grad(scaled_loss_fn, has_aux=True)(params)
+    aux = (aux[0] / scale, aux[1])
+    grads = jax.tree.map(
+        lambda g: lax.pmean(jnp.asarray(g, jnp.float32) / scale, data_axis),
+        grads)
+
+    is_finite = jnp.array(True)
+    for g in jax.tree.leaves(grads):
+        is_finite &= jnp.all(lax.is_finite(g))
+
+    grow = scaler.fin_steps == scaler.growth_interval
+    fin_scale = jnp.where(
+        grow & is_finite,
+        jnp.minimum(scale * scaler.growth_factor,
+                    jnp.finfo(jnp.float32).max),
+        scale)
+    inf_scale = scale * scaler.backoff_factor
+    if scaler.minimum_scale is not None:
+        inf_scale = jnp.maximum(inf_scale, scaler.minimum_scale)
+    new_scaler = scaler.replace(
+        scale=jnp.where(is_finite, fin_scale, inf_scale),
+        fin_steps=jnp.where(grow | (~is_finite), 0, scaler.fin_steps + 1))
+    return new_scaler, is_finite, aux, grads
+
+
 def _ppo_update(
     cfg: TrainConfig,
     mb: FrozenDict,
@@ -145,12 +196,8 @@ def _ppo_update(
     # Inside a manual (shard_map) learn region, ``mb`` holds this data
     # shard's equal slice of the global minibatch; every reduction below
     # pmean/psums over ``data_axis`` so losses, gradients, normalizer
-    # updates, and metrics equal the single-device computation exactly.
-    if data_axis is not None:
-        assert train_state.scaler is None, (
-            "fp16 DynamicScale is not supported inside the manual learn "
-            "region (per-shard finite-ness would desynchronize the scale); "
-            "use the GSPMD learn path for fp16")
+    # updates, and metrics equal the single-device computation exactly
+    # (fp16 DynamicScale included — see _scaler_value_and_grad_manual).
 
     def global_mean(x, **kwargs):
         m = jnp.mean(x, **kwargs)
@@ -290,19 +337,26 @@ def _ppo_update(
         scaler = train_state.scaler
         opt_state = train_state.opt_state
 
-        if scaler is not None:
+        if scaler is not None and data_axis is None:
             grad_fn = scaler.value_and_grad(loss_fn, has_aux=True)
             scaler, is_finite, aux, grads = grad_fn(params)
+        elif scaler is not None:
+            scaler, is_finite, aux, grads = _scaler_value_and_grad_manual(
+                scaler, loss_fn, params, data_axis)
         else:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             aux, grads = grad_fn(params)
-
-        if data_axis is not None:
-            # loss_fn's pmeans make the loss *value* global, but each
-            # shard's AD only sees its local contribution; the global
-            # gradient is the sum of shard gradients.
-            grads = jax.tree.map(
-                lambda g: lax.psum(g, data_axis), grads)
+            if data_axis is not None:
+                # loss_fn's pmeans make the loss *value* global, but each
+                # shard's AD (check_vma=False transpose semantics) yields
+                # the gradient of its LOCAL minibatch-slice mean; the
+                # global mean's gradient is the pmean of those. (A psum
+                # here scales gradients by the shard count — invisible
+                # through scale-invariant Adam, but it moves the
+                # max_grad_norm clipping threshold; caught by
+                # test_manual_dynamic_scale_matches_flax's flax oracle.)
+                grads = jax.tree.map(
+                    lambda g: lax.pmean(g, data_axis), grads)
 
         with jax.numpy_dtype_promotion("standard"):
             param_updates, new_opt_state = train_state.tx.update(

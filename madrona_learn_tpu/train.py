@@ -205,8 +205,9 @@ def _manual_learn_enabled(cfg: TrainConfig) -> bool:
         return False
     if cfg.filter_advantages or cfg.importance_sample_trajectories:
         return False
-    if cfg.compute_dtype == jnp.float16:
-        return False  # DynamicScale needs globally synced finite-ness.
+    # fp16 DynamicScale IS supported: the manual-region scaler derives
+    # finiteness from the psum'd global gradient, which is shard-invariant
+    # (ppo._scaler_value_and_grad_manual).
     num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
     if num_train_policies % mesh_cfg.policy != 0:
         return False
@@ -271,8 +272,9 @@ def _update_impl(
         spec = jax.sharding.PartitionSpec(POLICY_AXIS)
         # check_vma=False: pallas_call inside shard_map has no vma
         # metadata on its out_shapes; data-axis invariance of every output
-        # is established by the psums in ppo._ppo_update and asserted by
-        # the sharded == single-device tests (tests/test_sharding.py).
+        # is established by the pmeans/psums in ppo._ppo_update and
+        # asserted by the sharded == single-device tests
+        # (tests/test_sharding.py).
         mapped = jax.shard_map(
             one_policy, mesh=mesh,
             in_specs=(spec, spec, spec, spec),

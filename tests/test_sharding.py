@@ -530,6 +530,164 @@ def test_manual_learn_region_routes_kernels(eight_devices, monkeypatch):
                                atol=1e-6)
 
 
+def test_manual_dynamic_scale_matches_flax(eight_devices):
+    """ppo._scaler_value_and_grad_manual under a manual shard_map must
+    reproduce flax's DynamicScale.value_and_grad on the equivalent global
+    batch step for step — including a backoff on a non-finite gradient and
+    a growth step at growth_interval — with the scale/fin_steps update
+    identical on every shard (shard-invariance comes from the psum'd
+    global gradient, no extra collective)."""
+    from flax.training.dynamic_scale import DynamicScale
+    from jax import lax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from madrona_learn_tpu.ppo import _scaler_value_and_grad_manual
+
+    mesh = Mesh(np.array(eight_devices[:4]), ("data",))
+    x_global = jnp.linspace(0.1, 1.0, 32, dtype=jnp.float32)
+    w0 = jnp.float32(0.7)
+
+    def loss_global(w, x, boost):
+        # boost=1e6 overflows the fp16 forward (max 65504) -> inf loss ->
+        # non-finite gradients in BOTH implementations.
+        y = jnp.asarray(w * x * boost, jnp.float16) ** 2
+        return jnp.mean(y.astype(jnp.float32))
+
+    @jax.jit
+    def manual_step(ds, w, boost):
+        def shard_fn(ds, w, x_shard):
+            def loss_fn(p):
+                return lax.pmean(
+                    loss_global(p, x_shard, boost), "data"), ()
+            new_ds, fin, (loss, _), grad = _scaler_value_and_grad_manual(
+                ds, loss_fn, w, "data")
+            return new_ds, fin, loss, grad
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(), P(), P("data")),
+            out_specs=(P(), P(), P(), P()), check_vma=False,
+        )(ds, w, x_global)
+
+    @jax.jit
+    def flax_step(ds, w, boost):
+        grad_fn = ds.value_and_grad(
+            lambda p: (loss_global(p, x_global, boost), ()), has_aux=True)
+        new_ds, fin, (loss, _), grad = grad_fn(w)
+        return new_ds, fin, loss, grad
+
+    # Step 2 overflows (backoff 1024 -> 512); steps 3-5 are finite so step 5
+    # enters with fin_steps == growth_interval == 2 and grows 512 -> 1024.
+    boosts = [1.0, 1.0, 1e6, 1.0, 1.0, 1.0, 1.0]
+    ds_m = ds_f = DynamicScale(
+        growth_interval=2, fin_steps=jnp.int32(0), scale=jnp.float32(1024.0))
+    w_m = w_f = w0
+    saw_backoff = saw_growth = False
+    for boost in boosts:
+        prev_scale = float(ds_f.scale)
+        ds_m, fin_m, loss_m, grad_m = manual_step(ds_m, w_m, boost)
+        ds_f, fin_f, loss_f, grad_f = flax_step(ds_f, w_f, boost)
+
+        assert bool(fin_m) == bool(fin_f)
+        np.testing.assert_array_equal(
+            np.asarray(ds_m.fin_steps), np.asarray(ds_f.fin_steps))
+        np.testing.assert_allclose(
+            np.asarray(ds_m.scale), np.asarray(ds_f.scale))
+        if bool(fin_f):
+            np.testing.assert_allclose(
+                np.asarray(loss_m), np.asarray(loss_f), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(grad_m), np.asarray(grad_f), rtol=1e-5)
+        saw_backoff |= float(ds_f.scale) < prev_scale
+        saw_growth |= float(ds_f.scale) > prev_scale
+
+        w_m = jnp.where(fin_m, w_m - 0.1 * grad_m, w_m)
+        w_f = jnp.where(fin_f, w_f - 0.1 * grad_f, w_f)
+    assert saw_backoff and saw_growth  # both branches exercised
+    np.testing.assert_allclose(np.asarray(w_m), np.asarray(w_f), rtol=1e-5)
+
+
+def test_manual_learn_fp16_dynamic_scale_matches_gspmd(eight_devices):
+    """fp16 + DynamicScale is no longer excluded from the manual learn
+    region: one sharded update under manual_learn must match the GSPMD
+    comparator (same mesh/layout, learn-region implementation is the only
+    difference), including the loss-scaler state, which must step
+    identically on every shard."""
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+
+    num_worlds = 32
+    dtype = jnp.float16
+
+    def build(mesh_cfg):
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=71))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=RecurrentBackboneEncoder(
+                    net=MLP(num_channels=32, num_layers=1, dtype=dtype),
+                    rnn=LSTM(num_hidden_channels=32, num_layers=1,
+                             dtype=dtype))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=1,
+            actions=actions, steps_per_update=16, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=71,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=num_worlds,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            compute_dtype=jnp.float16,
+            mesh=mesh_cfg)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mesh_on = mlt.MeshConfig(data=2, policy=1, manual_learn=True)
+    mesh_off = mlt.MeshConfig(data=2, policy=1, manual_learn=False)
+    assert mlt.train._manual_learn_enabled(build(mesh_on).cfg)
+    assert not mlt.train._manual_learn_enabled(build(mesh_off).cfg)
+
+    update = jax.jit(lambda m: m.update_iter())
+    mesh = make_mesh(mesh_on, eight_devices[:2])
+    outs = {
+        name: update(shard_training_manager(build(mesh_cfg), mesh))
+        for name, mesh_cfg in (("manual", mesh_on), ("gspmd", mesh_off))
+    }
+
+    # The scaler stepped finitely through both minibatches (64 sequences /
+    # minibatch_size 32) on both paths, identically.
+    for out in outs.values():
+        scaler = out.state.train_states.scaler
+        np.testing.assert_array_equal(np.asarray(scaler.fin_steps), 2)
+        np.testing.assert_array_equal(np.asarray(scaler.scale), 65536.0)
+
+    # fp16 forward/backward: reduction order differs between the psum'd
+    # shard gradients and GSPMD's global reduction, hence the tolerances.
+    got = np.asarray(outs["manual"].metrics.metrics["Loss"].mean)
+    want = np.asarray(outs["gspmd"].metrics.metrics["Loss"].mean)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-2, atol=2e-3),
+        jax.device_get(outs["manual"].state.policy_states.params),
+        jax.device_get(outs["gspmd"].state.policy_states.params))
+
+
 @pytest.mark.parametrize("normalize_values", [False, True])
 def test_manual_learn_pbt_matches_gspmd(eight_devices, normalize_values):
     """The manual shard_map learn region must reproduce the GSPMD learn
