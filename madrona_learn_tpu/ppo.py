@@ -459,16 +459,15 @@ def _ppo(
     train.py), every shard computes the same per-epoch permutation from the
     replicated per-policy PRNG, then optimizes its equal slice of each
     global minibatch; _ppo_update restores global semantics with
-    psums/pmeans over the axis. Only the uniform minibatch mode is
-    supported there (filter/importance modes argsort the full batch).
+    psums/pmeans over the axis. All three index-selection modes work
+    there: ``rollout_data`` and the PRNG enter the region replicated over
+    ``data``, so the filter argsort / max-advantage EMA and the
+    importance-sampling draw compute the identical global index set and
+    trajectory weights on every shard — only the minibatch *rows* each
+    shard optimizes differ (its equal slice), exactly as in the uniform
+    mode (equality tests:
+    tests/test_sharding.py::test_manual_learn_minibatch_modes_match_gspmd).
     """
-    if data_axis is not None:
-        assert not cfg.filter_advantages, (
-            "advantage filtering is unsupported in the manual learn region")
-        assert not cfg.importance_sample_trajectories, (
-            "trajectory importance sampling is unsupported in the manual "
-            "learn region")
-
     if cfg.filter_advantages:
         rollout_data = rollout_data.flatten_time()
 

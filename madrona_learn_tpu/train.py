@@ -203,10 +203,11 @@ def _manual_learn_enabled(cfg: TrainConfig) -> bool:
         # Tensor-parallel kernels would need manual collectives inside the
         # matmuls; TP stays on the GSPMD path.
         return False
-    if cfg.filter_advantages or cfg.importance_sample_trajectories:
-        return False
+    # Advantage filtering / importance sampling ARE supported: rollout
+    # data and the per-policy PRNG enter the region replicated over
+    # ``data``, so index selection is shard-invariant (ppo._ppo).
     # fp16 DynamicScale IS supported: the manual-region scaler derives
-    # finiteness from the psum'd global gradient, which is shard-invariant
+    # finiteness from the pmean'd global gradient, which is shard-invariant
     # (ppo._scaler_value_and_grad_manual).
     num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
     if num_train_policies % mesh_cfg.policy != 0:

@@ -688,6 +688,98 @@ def test_manual_learn_fp16_dynamic_scale_matches_gspmd(eight_devices):
         jax.device_get(outs["gspmd"].state.policy_states.params))
 
 
+@pytest.mark.parametrize("mode", ["filter", "importance"])
+def test_manual_learn_minibatch_modes_match_gspmd(eight_devices, mode):
+    """Advantage filtering and trajectory importance sampling are no
+    longer excluded from the manual learn region: rollout data and the
+    per-policy PRNG enter the region replicated over ``data``, so the
+    filter argsort / max-advantage EMA and the importance-sampling draw
+    pick the identical global index set on every shard. One sharded
+    update under manual_learn must match the GSPMD comparator (same
+    mesh/layout; the learn-region implementation is the only
+    difference)."""
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneEncoder, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, MLP)
+
+    num_worlds = 32
+    dtype = jnp.float32
+    if mode == "filter":
+        # flatten_time: 64 sequences x 8 steps = 512 filterable rows.
+        overrides = dict(filter_advantages=True)
+        minibatch_size = 64
+    else:
+        # 64 sequences; sample 1 x 32 of them by |adv| + value error.
+        overrides = dict(importance_sample_trajectories=True,
+                         importance_sample_num_minibatches=1)
+        minibatch_size = 32
+
+    def build(mesh_cfg):
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=83))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=BackboneEncoder(
+                    net=MLP(num_channels=32, num_layers=1, dtype=dtype))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=1,
+            actions=actions, steps_per_update=16, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=83,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=2, minibatch_size=minibatch_size,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            mesh=mesh_cfg,
+            **overrides)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mesh_on = mlt.MeshConfig(data=2, policy=1, manual_learn=True)
+    mesh_off = mlt.MeshConfig(data=2, policy=1, manual_learn=False)
+    assert mlt.train._manual_learn_enabled(build(mesh_on).cfg)
+    assert not mlt.train._manual_learn_enabled(build(mesh_off).cfg)
+
+    update = jax.jit(lambda m: m.update_iter())
+    mesh = make_mesh(mesh_on, eight_devices[:2])
+    outs = {
+        name: update(shard_training_manager(build(mesh_cfg), mesh))
+        for name, mesh_cfg in (("manual", mesh_on), ("gspmd", mesh_off))
+    }
+
+    got = np.asarray(outs["manual"].metrics.metrics["Loss"].mean)
+    want = np.asarray(outs["gspmd"].metrics.metrics["Loss"].mean)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    if mode == "filter":
+        # The max-advantage EMA must also have stepped identically.
+        np.testing.assert_allclose(
+            np.asarray(
+                outs["manual"].state.train_states.max_advantage_est_state[
+                    "mu"]),
+            np.asarray(
+                outs["gspmd"].state.train_states.max_advantage_est_state[
+                    "mu"]),
+            rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        jax.device_get(outs["manual"].state.policy_states.params),
+        jax.device_get(outs["gspmd"].state.policy_states.params))
+
+
 @pytest.mark.parametrize("normalize_values", [False, True])
 def test_manual_learn_pbt_matches_gspmd(eight_devices, normalize_values):
     """The manual shard_map learn region must reproduce the GSPMD learn
