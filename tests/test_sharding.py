@@ -813,7 +813,7 @@ def test_manual_learn_pbt_matches_gspmd(eight_devices, normalize_values):
         np.testing.assert_allclose(got, want, rtol=tol, atol=tol,
                                    err_msg=key)
     # Parameters themselves must agree (optimizer + weight projection ran
-    # on psum'd gradients equal to the GSPMD ones up to reduction order;
+    # on pmean'd gradients equal to the GSPMD ones up to reduction order;
     # Adam's rsqrt amplifies the fp noise on near-zero bias entries, hence
     # the absolute tolerance).
     jax.tree.map(
@@ -821,3 +821,14 @@ def test_manual_learn_pbt_matches_gspmd(eight_devices, normalize_values):
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
         jax.device_get(outs["manual"].state.policy_states.params),
         jax.device_get(outs["gspmd"].state.policy_states.params))
+    # The optimizer state must agree too. Unlike the params comparison,
+    # this one cannot be fooled by a uniformly mis-scaled gradient: Adam's
+    # update is scale-invariant (a k-times gradient moves params almost
+    # identically), but its second moment scales with k^2 — exactly the
+    # class of bug the manual region once had (psum instead of pmean over
+    # the data axis).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
+        jax.device_get(outs["manual"].state.train_states.opt_state),
+        jax.device_get(outs["gspmd"].state.train_states.opt_state))
