@@ -186,23 +186,23 @@ def stop_training(training_mgr: TrainingManager):
         jax.profiler.stop_server()
 
 
-def _manual_learn_enabled(cfg: TrainConfig) -> bool:
-    """Whether the learn phase runs as a manual shard_map region.
+def _manual_learn_fallback_reason(cfg: TrainConfig) -> Optional[str]:
+    """Why a *requested* manual learn region cannot serve this config.
 
-    The manual region keeps the Mosaic kernels routed on multi-chip meshes
-    (GSPMD cannot partition a Mosaic custom call — ops/pallas/runtime.py);
-    it reproduces global minibatch semantics with psums over ``data``.
-    Configurations it does not support fall back to the GSPMD learn path
-    (kernels fall back to their jnp twins there).
+    Returns None when the manual region runs, and also when it simply was
+    not requested (no mesh / single device / ``manual_learn=False``) —
+    a reason string only ever describes an unsupported configuration the
+    user asked the region to handle.
     """
     mesh_cfg = cfg.mesh
     if (mesh_cfg is None or mesh_cfg.num_devices <= 1
             or not mesh_cfg.manual_learn):
-        return False
+        return None
     if mesh_cfg.model > 1:
         # Tensor-parallel kernels would need manual collectives inside the
         # matmuls; TP stays on the GSPMD path.
-        return False
+        return ("model-axis tensor parallelism (mesh.model="
+                f"{mesh_cfg.model} > 1)")
     # Advantage filtering / importance sampling ARE supported: rollout
     # data and the per-policy PRNG enter the region replicated over
     # ``data``, so index selection is shard-invariant (ppo._ppo).
@@ -211,15 +211,45 @@ def _manual_learn_enabled(cfg: TrainConfig) -> bool:
     # (ppo._scaler_value_and_grad_manual).
     num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
     if num_train_policies % mesh_cfg.policy != 0:
-        return False
+        return (f"num_train_policies ({num_train_policies}) does not "
+                f"divide over mesh.policy ({mesh_cfg.policy})")
     minibatch_size = getattr(cfg.algo, "minibatch_size", None)
     if minibatch_size is None or minibatch_size % mesh_cfg.data != 0:
+        return (f"minibatch_size ({minibatch_size}) does not divide over "
+                f"mesh.data ({mesh_cfg.data})")
+    return None
+
+
+def _manual_learn_enabled(cfg: TrainConfig) -> bool:
+    """Whether the learn phase runs as a manual shard_map region.
+
+    The manual region keeps the Mosaic kernels routed on multi-chip meshes
+    (GSPMD cannot partition a Mosaic custom call — ops/pallas/runtime.py);
+    it reproduces global minibatch semantics with pmeans/psums over
+    ``data``. Configurations it does not support fall back to the GSPMD
+    learn path (kernels fall back to their jnp twins there; the fallback
+    warns with the reason — ``_warn_manual_learn_hooks``).
+    """
+    mesh_cfg = cfg.mesh
+    if (mesh_cfg is None or mesh_cfg.num_devices <= 1
+            or not mesh_cfg.manual_learn):
         return False
-    return True
+    return _manual_learn_fallback_reason(cfg) is None
 
 
 def _warn_manual_learn_hooks(cfg: TrainConfig, user_hooks: TrainHooks):
-    """One-time heads-up for user hooks that predate the manual region."""
+    """One-time heads-up for user hooks that predate the manual region,
+    and for configs where a requested manual region silently falls back
+    (the Mosaic kernels run as jnp twins there — worth knowing at scale)."""
+    reason = _manual_learn_fallback_reason(cfg)
+    if reason is not None:
+        warnings.warn(
+            "manual_learn was requested (multi-device mesh) but this "
+            f"configuration falls back to the GSPMD learn path: {reason}. "
+            "Fused Mosaic kernels cannot route under GSPMD and will run "
+            "as their jnp twins (same math). Silence this by setting "
+            "MeshConfig(manual_learn=False).",
+            stacklevel=3)
     if not _manual_learn_enabled(cfg):
         return
     overridden = (type(user_hooks).optimize_metrics

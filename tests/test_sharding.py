@@ -688,6 +688,33 @@ def test_manual_learn_fp16_dynamic_scale_matches_gspmd(eight_devices):
         jax.device_get(outs["gspmd"].state.policy_states.params))
 
 
+def test_manual_learn_fallback_warns_with_reason(eight_devices):
+    """A *requested* manual learn region that cannot serve the config must
+    say so (the Mosaic kernels silently become jnp twins otherwise), with
+    the concrete reason; a supported config must stay silent."""
+    import warnings as _warnings
+
+    # build_training_mgr uses minibatch_size=10: data=4 doesn't divide it.
+    with pytest.warns(UserWarning,
+                      match=r"minibatch_size \(10\) does not divide"):
+        mgr = build_training_mgr(seed=5, mesh=mlt.MeshConfig(
+            data=4, policy=2, manual_learn=True))
+    assert not mlt.train._manual_learn_enabled(mgr.cfg)
+
+    # data=2 divides: the region runs, no fallback warning.
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", UserWarning)
+        mgr = build_training_mgr(seed=5, mesh=mlt.MeshConfig(
+            data=2, policy=2, manual_learn=True))
+    assert mlt.train._manual_learn_enabled(mgr.cfg)
+
+    # Not requested (manual_learn=False): silent even when unsupported.
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", UserWarning)
+        build_training_mgr(seed=5, mesh=mlt.MeshConfig(
+            data=4, policy=2, manual_learn=False))
+
+
 @pytest.mark.parametrize("mode", ["filter", "importance"])
 def test_manual_learn_minibatch_modes_match_gspmd(eight_devices, mode):
     """Advantage filtering and trajectory importance sampling are no
