@@ -156,6 +156,13 @@ def test_mha_flash_matches_reference(shape, valid):
 
 
 def test_mha_flash_backward_matches_reference():
+    """Tolerance note (ADVICE r2): the attention custom-VJP backward
+    recomputes through the jnp twin while the primal may have run the
+    Mosaic kernel, so on hardware the returned gradient corresponds to a
+    slightly different (MXU-rounded vs XLA-rounded) forward. At entity
+    scale (<=256 keys) the divergence is far below these tolerances; if
+    mha_flash ever enters production routing at large S, it needs a
+    flash-structured backward (ops/pallas/attention.py docstring)."""
     from madrona_learn_tpu.ops.pallas.attention import mha_flash
 
     rng = np.random.default_rng(9)
