@@ -4,13 +4,23 @@ Answers "where does the update-step time go" with three measurements:
 
 1. **MFU**: XLA's own cost model (``compiled.cost_analysis()['flops']``)
    over measured wall time vs. peak bf16 FLOPs (v5e: 197 TFLOP/s).
-2. **Phase split**: the rollout-collection sub-program (inference + sim +
-   GAE + store finalize) is compiled and timed standalone; learn time is the
-   difference to the full update.
+2. **Phase split** (UNSTABLE — see below): the rollout-collection
+   sub-program (inference + sim + GAE + store finalize) is compiled and
+   timed standalone; learn time is the difference to the full update.
+   Round-3 measurements showed identical standalone-collect programs
+   varying 15.1 vs 23.5 ms across processes (the split is launch-bound and
+   tunnel-sensitive), so the JSON marks these fields estimates; use the
+   XProf self-time attribution (scripts/xprof_summary.py over the trace
+   artifact) for reliable per-phase numbers.
 3. **XProf artifact**: a ``jax.profiler.trace`` capture of the steady-state
    update, written to ``artifacts/xprof/`` for TensorBoard's profile plugin.
 
-Run: python benchmarks/profile_update.py [--no-trace]
+``--donate`` compiles the update with ``donate_argnums=0`` (the production
+training-loop configuration) and times it as a chained ``m = update(m)``
+loop; the phase split is skipped there (the collect sub-program cannot
+share donated buffers).
+
+Run: python benchmarks/profile_update.py [--no-trace] [--donate]
 """
 
 import argparse
@@ -32,14 +42,17 @@ PEAK_BF16_FLOPS = {
 
 
 try:
-    from _timing import time_compiled  # script-style run
+    from _timing import time_compiled, time_compiled_chain  # script run
 except ImportError:  # runpy from the repo root (campaign runner)
-    from benchmarks._timing import time_compiled
+    from benchmarks._timing import time_compiled, time_compiled_chain
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--no-trace", action="store_true")
+    parser.add_argument("--donate", action="store_true",
+                        help="donate the manager buffers (production loop "
+                             "configuration); skips the phase split")
     parser.add_argument("--updates", type=int, default=5)
     parser.add_argument("--lstm-unroll", type=int, default=1,
                         help="unroll factor for the BPTT LSTM scan")
@@ -102,67 +115,81 @@ def main():
     flops = tokens * (fwd_flops + num_epochs * bwd_flops)
 
     # -- full update ---------------------------------------------------------
-    update = jax.jit(lambda m: m.update_iter())
-    update_c = update.lower(mgr).compile()
-
-    full_dt = time_compiled(
-        update_c, (mgr,),
-        lambda m: jax.device_get(m.metrics.metrics["Loss"].mean),
-        n=args.updates)
+    sync_loss = lambda m: jax.device_get(m.metrics.metrics["Loss"].mean)
+    if args.donate:
+        update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+        update_c = update.lower(mgr).compile()
+        full_dt, live_mgr = time_compiled_chain(
+            update_c, mgr, sync_loss, n=args.updates)
+    else:
+        update = jax.jit(lambda m: m.update_iter())
+        update_c = update.lower(mgr).compile()
+        full_dt = time_compiled(update_c, (mgr,), sync_loss, n=args.updates)
+        live_mgr = mgr
 
     env_steps = bench.NUM_WORLDS * bench.STEPS_PER_UPDATE
     steps_per_s = env_steps / full_dt
     mfu = flops / full_dt / PEAK_BF16_FLOPS.get(backend, 197e12)
 
-    # -- collect-only sub-program -------------------------------------------
-    policy_states = mgr.state.policy_states
-    rollout_mgr = RolloutManager(mgr.cfg, mgr.rollout, policy_states)
+    # -- collect-only sub-program (phase split; UNSTABLE — see docstring) ----
+    collect_dt = learn_dt = None
+    if not args.donate:
+        policy_states = mgr.state.policy_states
+        rollout_mgr = RolloutManager(mgr.cfg, mgr.rollout, policy_states)
 
-    def collect_only(state, rollout):
-        metrics = TrainingMetrics.create(
-            rollout_mgr.add_metrics(mgr.cfg, FrozenDict({})),
-            buffer_size=1, start_update_idx=0, num_policies=1)
-        out = rollout_mgr.collect(
-            state, rollout, metrics,
-            lambda rs, us: (rs, us),
-            lambda r, bv, uv, ubv, us: (r, us),
-            lambda m, r, us: m)
-        return out[2]  # rollout_data
+        def collect_only(state, rollout):
+            metrics = TrainingMetrics.create(
+                rollout_mgr.add_metrics(mgr.cfg, FrozenDict({})),
+                buffer_size=1, start_update_idx=0, num_policies=1)
+            out = rollout_mgr.collect(
+                state, rollout, metrics,
+                lambda rs, us: (rs, us),
+                lambda r, bv, uv, ubv, us: (r, us),
+                lambda m, r, us: m)
+            return out[2]  # rollout_data
 
-    collect_c = jax.jit(collect_only).lower(mgr.state, mgr.rollout).compile()
-    collect_dt = time_compiled(
-        collect_c, (mgr.state, mgr.rollout),
-        lambda rd: jax.device_get(
-            jax.tree.leaves(rd.data)[0][0, 0]),
-        n=args.updates)
+        collect_c = jax.jit(collect_only).lower(
+            mgr.state, mgr.rollout).compile()
+        collect_dt = time_compiled(
+            collect_c, (mgr.state, mgr.rollout),
+            lambda rd: jax.device_get(
+                jax.tree.leaves(rd.data)[0][0, 0]),
+            n=args.updates)
 
-    learn_dt = max(full_dt - collect_dt, 0.0)
+        learn_dt = max(full_dt - collect_dt, 0.0)
 
     # -- XProf capture -------------------------------------------------------
     trace_dir = None
     if not args.no_trace:
         trace_dir = os.path.abspath("artifacts/xprof")
         os.makedirs(trace_dir, exist_ok=True)
-        m = update_c(mgr)
-        jax.device_get(m.metrics.metrics["Loss"].mean)
+        m = update_c(live_mgr)
+        sync_loss(m)
         with jax.profiler.trace(trace_dir):
-            m = update_c(mgr)
-            jax.device_get(m.metrics.metrics["Loss"].mean)
+            m = update_c(m)
+            sync_loss(m)
 
     result = {
         "backend": backend,
         "lstm_unroll": args.lstm_unroll,
+        "donate": args.donate,
         "env_steps_per_s": round(steps_per_s, 1),
         "update_ms": round(full_dt * 1e3, 2),
-        "collect_ms": round(collect_dt * 1e3, 2),
-        "learn_ms": round(learn_dt * 1e3, 2),
-        "collect_frac": round(collect_dt / full_dt, 3),
         "model_flops_per_update": flops,
         "fwd_flops_per_token": round(fwd_flops, 1),
         "train_fwd_bwd_flops_per_token": round(bwd_flops, 1),
         "mfu": round(mfu, 4),
         "trace_dir": trace_dir,
     }
+    if collect_dt is not None:
+        result.update({
+            # Subtraction-based estimate only: identical programs have
+            # measured 15.1 vs 23.5 ms across processes (launch-bound,
+            # tunnel-sensitive). Use scripts/xprof_summary.py for
+            # trustworthy attribution.
+            "collect_ms_estimate_unstable": round(collect_dt * 1e3, 2),
+            "learn_ms_estimate_unstable": round(learn_dt * 1e3, 2),
+        })
     print(json.dumps(result))
 
 

@@ -43,6 +43,7 @@ from .ppo import PPOConfig
 from .train import (
     init_training,
     stop_training,
+    join_warmup_threads,
     eval_elo,
     eval_elo_warmup,
     update_population,
@@ -112,6 +113,7 @@ __all__ = [
     "PPOConfig",
     "init_training",
     "stop_training",
+    "join_warmup_threads",
     "eval_elo",
     "eval_elo_warmup",
     "update_population",

@@ -118,14 +118,16 @@ class MeshConfig:
     model: int = 1
     # Run the learn phase as a manual shard_map region (data+policy axes)
     # instead of GSPMD. Semantics are identical (global minibatch
-    # composition; gradients/losses psum over data), but the region's trace
-    # is manual over every mesh axis, so the Mosaic kernels (fused
+    # composition; losses/gradients pmean over data), but the region's
+    # trace is manual over every mesh axis, so the Mosaic kernels (fused
     # LSTM/GRU sequence, entity attention, layer norm) stay routed on
     # multi-chip meshes — GSPMD cannot partition a Mosaic custom call, so
-    # on the GSPMD path they fall back to jnp twins. Auto-disabled for
-    # configurations the manual region does not support (model-axis TP,
-    # fp16 dynamic loss scaling, advantage filtering / importance
-    # sampling, non-dividing minibatch/population sizes).
+    # on the GSPMD path they fall back to jnp twins. fp16 dynamic loss
+    # scaling and advantage filtering / importance sampling are supported
+    # inside the region. Auto-disabled only for configurations the region
+    # does not support — model-axis tensor parallelism and population /
+    # minibatch sizes that do not divide over the mesh axes — with a
+    # warning naming the reason (train.py:_manual_learn_fallback_reason).
     manual_learn: bool = True
 
     @property

@@ -180,7 +180,30 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(indexed, key=int))
 
 
+# Live eval_elo_warmup threads, keyed by the manager's update_fn identity
+# (stable across TrainingManager.replace for a training run, same key the
+# compiled-program cache uses). stop_training joins these so no daemon
+# thread — possibly mid-XLA-compile — outlives a clean shutdown and races
+# interpreter teardown.
+_WARMUP_THREADS: Dict[int, list] = {}
+
+
+def _register_warmup_thread(training_mgr: TrainingManager, thread):
+    threads = _WARMUP_THREADS.setdefault(id(training_mgr.update_fn), [])
+    threads[:] = [t for t in threads if t.is_alive()]
+    threads.append(thread)
+
+
+def join_warmup_threads(training_mgr: TrainingManager):
+    """Block until every eval_elo_warmup thread started for this manager has
+    finished compiling. Called by ``stop_training``; call directly to
+    barrier on warmup completion earlier."""
+    for t in _WARMUP_THREADS.pop(id(training_mgr.update_fn), []):
+        t.join()
+
+
 def stop_training(training_mgr: TrainingManager):
+    join_warmup_threads(training_mgr)
     if training_mgr.profile_port is not None:
         training_mgr.state.train_states.update_prng_key.block_until_ready()
         jax.profiler.stop_server()
@@ -244,7 +267,7 @@ def _warn_manual_learn_hooks(cfg: TrainConfig, user_hooks: TrainHooks):
     reason = _manual_learn_fallback_reason(cfg)
     if reason is not None:
         warnings.warn(
-            "manual_learn was requested (multi-device mesh) but this "
+            "manual_learn is enabled (the MeshConfig default) but this "
             f"configuration falls back to the GSPMD learn path: {reason}. "
             "Fused Mosaic kernels cannot route under GSPMD and will run "
             "as their jnp twins (same math). Silence this by setting "
@@ -637,7 +660,10 @@ def eval_elo_warmup(
 
     Returns the warmup thread (or None when ``block=True``); joining it is
     optional — ``eval_elo`` works correctly either way, at worst compiling
-    synchronously as before.
+    synchronously as before. ``stop_training`` joins any still-running
+    warmup threads for this manager (via ``join_warmup_threads``), so a
+    clean shutdown never races a mid-compile daemon thread against
+    interpreter teardown.
     """
     fn = _tournament_fn(training_mgr, num_eval_steps)
     evolve_fn = _population_update_fn(training_mgr)
@@ -663,6 +689,7 @@ def eval_elo_warmup(
 
     thread = threading.Thread(
         target=compile_now, name="eval-elo-warmup", daemon=True)
+    _register_warmup_thread(training_mgr, thread)
     thread.start()
     return thread
 

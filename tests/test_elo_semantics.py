@@ -317,6 +317,33 @@ def test_eval_elo_warmup_precompiles_tournament():
     assert time.perf_counter() - t0 < cold / 4
 
 
+def test_stop_training_joins_warmup_thread():
+    """VERDICT r3 item 7: a clean shutdown must not leave an
+    eval_elo_warmup daemon thread alive (possibly mid-XLA-compile) to race
+    interpreter teardown — stop_training joins it before returning."""
+    kwargs = dict(
+        num_eval_steps=8,
+        eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
+        train_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mgr = build_training_mgr(seed=46)
+    thread = mlt.eval_elo_warmup(mgr, block=False, **kwargs)
+    # Immediately stop: the join must cover a thread still compiling.
+    mlt.stop_training(mgr)
+    assert not thread.is_alive()
+
+    # The warmed program is intact after the join; eval_elo still works.
+    mgr2, deltas = mlt.eval_elo(mgr, **kwargs)
+    assert np.isfinite(np.asarray(deltas)).all()
+
+    # Registry is drained: a second stop_training is a no-op, and a fresh
+    # warmup after stop re-registers (stop/start cycles stay safe).
+    mlt.stop_training(mgr)
+    thread2 = mlt.eval_elo_warmup(mgr2, block=False, **kwargs)
+    mlt.stop_training(mgr2)
+    assert not thread2.is_alive()
+
+
 def test_pair_offset_rotates_underfilled_coverage():
     """Advancing eval_elo's pair_offset must hand the previously-dropped
     pairings match slots on later cycles (coverage sweeps instead of

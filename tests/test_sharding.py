@@ -535,7 +535,7 @@ def test_manual_dynamic_scale_matches_flax(eight_devices):
     reproduce flax's DynamicScale.value_and_grad on the equivalent global
     batch step for step — including a backoff on a non-finite gradient and
     a growth step at growth_interval — with the scale/fin_steps update
-    identical on every shard (shard-invariance comes from the psum'd
+    identical on every shard (shard-invariance comes from the pmean'd
     global gradient, no extra collective)."""
     from flax.training.dynamic_scale import DynamicScale
     from jax import lax
