@@ -124,10 +124,13 @@ class MeshConfig:
     # multi-chip meshes — GSPMD cannot partition a Mosaic custom call, so
     # on the GSPMD path they fall back to jnp twins. fp16 dynamic loss
     # scaling and advantage filtering / importance sampling are supported
-    # inside the region. Auto-disabled only for configurations the region
-    # does not support — model-axis tensor parallelism and population /
-    # minibatch sizes that do not divide over the mesh axes — with a
-    # warning naming the reason (train.py:_manual_learn_fallback_reason).
+    # inside the region, and so is model-axis TP (the region folds the
+    # model axis into the minibatch row split — recurrent-sequence TP
+    # would place a collective inside every time step — while rollout
+    # inference keeps the wide matmuls genuinely model-sharded under
+    # GSPMD). Auto-disabled only for population / minibatch sizes that do
+    # not divide over the mesh axes, with a warning naming the reason
+    # (train.py:_manual_learn_fallback_reason).
     manual_learn: bool = True
 
     @property
@@ -167,6 +170,20 @@ class TrainConfig:
     value_normalizer_decay: float = 0.99999
     max_advantage_est_decay: float = 0.99999
     compute_dtype: jnp.dtype = jnp.float32
+    # Uniform-mode minibatch composition: the per-policy training sequences
+    # are split into this many equal contiguous blocks and every minibatch
+    # draws an equal slice from an independent per-block shuffle (stratified
+    # sampling; each epoch still visits every sequence exactly once).
+    # None = the mesh's data-axis size (so each data shard selects its
+    # minibatch rows shard-locally with ZERO collectives inside the manual
+    # learn region), which is 1 — today's single global shuffle, the
+    # reference's semantics (reference: ppo.py:436-443) — without a
+    # multi-device mesh. Pin an explicit value to make minibatch
+    # composition (and hence learning curves) independent of deployment
+    # mesh size; the zero-collective learn path needs it divisible by
+    # mesh.data. Ignored by advantage filtering / importance sampling
+    # (their selections are intrinsically global).
+    minibatch_stratify: Optional[int] = None
     # Route GAE through the fused Pallas-TPU kernel (ops/pallas/gae.py);
     # requires a TPU backend. The jnp scan path is the default/fallback.
     use_pallas_gae: bool = False

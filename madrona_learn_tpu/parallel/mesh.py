@@ -79,7 +79,11 @@ def shard_params_for_tp(params, mesh: Mesh, min_dim: int = 256,
             and n_policy > 1
         ) else (None,)
 
-        is_kernel = path[-1].key == "kernel" and leaf.ndim >= 2
+        # Paths mix dict keys (params FrozenDicts, .key) and dataclass
+        # attribute keys (.name) when applied to whole policy-state trees.
+        last = path[-1] if path else None
+        last_name = getattr(last, "key", getattr(last, "name", None))
+        is_kernel = last_name == "kernel" and leaf.ndim >= 2
         if (
             is_kernel
             and leaf.shape[-1] >= min_dim
@@ -95,6 +99,46 @@ def shard_params_for_tp(params, mesh: Mesh, min_dim: int = 256,
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def replicate_for_inference(tree, mesh_cfg: Optional[MeshConfig]):
+    """Pin ``tree`` (a stacked policy-state pytree) replicated over the mesh.
+
+    The rollout loop's per-chunk weight gather (``x[state_idxs]`` over the
+    policy-sharded population) otherwise lowers to an all-reduce of
+    [num_chunks x full param struct] over the ``policy`` axis EVERY sim
+    step — measured at 44.85 GB per device per update at the weak-scaled
+    BASELINE config-#5 shape (scripts/comm_budget.py), 97% of all
+    communication in the step and the single biggest threat to the >=85%
+    2-host scaling target. Replicating the *inference copy* once per
+    update turns that into one population all-gather ((P-1)/P x population
+    params, ~2 orders of magnitude less traffic) and makes every
+    subsequent per-step chunk gather shard-local. Optimizer state and the
+    learn phase keep the population sharded over ``policy``; this touches
+    only the read-only copy the rollout/eval loops consume.
+
+    With ``model > 1`` the wide Dense kernels KEEP their model-axis
+    tensor-parallel sharding (same rules as ``shard_params_for_tp`` with
+    the population axis replicated) so GSPMD still partitions the
+    inference matmuls over ``model``; only data/policy replicate.
+
+    No-op without a multi-device mesh or when already replicated.
+    """
+    if mesh_cfg is None or mesh_cfg.num_devices <= 1:
+        return tree
+    mesh = make_mesh(mesh_cfg)
+    if mesh_cfg.model > 1:
+        shardings = shard_params_for_tp(
+            tree, mesh, stacked_policy_axis=False)
+        return jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(x, s)
+            if isinstance(x, jax.Array) else x,
+            tree, shardings)
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep)
+        if isinstance(x, jax.Array) else x,
+        tree)
 
 
 def _shard_by_leading_axis(tree, mesh: Mesh, axis_sizes, axis_name):

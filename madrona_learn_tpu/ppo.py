@@ -125,6 +125,50 @@ class PPO(AlgoBase):
         })
 
 
+def resolve_stratify(cfg: TrainConfig, num_train_seqs_per_policy: int) -> int:
+    """Effective uniform-mode minibatch stratification block count.
+
+    1 = the legacy single global shuffle (bit-identical PRNG stream to the
+    reference semantics). >1 = the per-policy sequences are treated as that
+    many equal contiguous blocks, each epoch shuffles every block
+    independently, and each minibatch takes an equal slice of every block
+    — the composition that lets a data shard owning whole blocks select
+    its minibatch rows with zero collectives inside the manual learn
+    region (train.py:learn_manual). The composition is a pure function of
+    (config, PRNG), NEVER of the execution layout, so single-device,
+    GSPMD, and manual-region runs of the same config stay bit-equal.
+
+    Falls back to 1 (with a trace-time warning) when the sequence count or
+    minibatch size does not divide into the blocks; advantage filtering /
+    importance sampling always use their global selections.
+    """
+    if cfg.filter_advantages or cfg.importance_sample_trajectories:
+        return 1
+    stratify = cfg.minibatch_stratify
+    if stratify is None:
+        mesh = cfg.mesh
+        # model folds into the row split inside the manual learn region
+        # (train._learn_row_axes), so the default block count covers both.
+        stratify = (mesh.data * mesh.model
+                    if mesh is not None and mesh.num_devices > 1 else 1)
+    stratify = max(int(stratify), 1)
+    if stratify == 1:
+        return 1
+    if (num_train_seqs_per_policy % stratify != 0
+            or cfg.algo.minibatch_size % stratify != 0):
+        import warnings
+
+        warnings.warn(
+            f"minibatch stratification disabled: stratify={stratify} must "
+            f"divide both the per-policy training sequences "
+            f"({num_train_seqs_per_policy}) and minibatch_size "
+            f"({cfg.algo.minibatch_size}); falling back to the single "
+            f"global shuffle (the manual learn region, if active, will "
+            f"replicate rollout data over the data axis).")
+        return 1
+    return stratify
+
+
 def _scaler_value_and_grad_manual(scaler, loss_fn, params, data_axis):
     """fp16 DynamicScale step inside the manual shard_map learn region.
 
@@ -446,6 +490,8 @@ def _ppo(
     user_metrics_cb: Callable,
     init_metrics: TrainingMetrics,
     data_axis: Optional[str] = None,
+    stratify: int = 1,
+    rows_sharded: bool = False,
 ):
     """Epoch/minibatch optimization for one policy (vmapped over policies).
 
@@ -460,14 +506,27 @@ def _ppo(
     replicated per-policy PRNG, then optimizes its equal slice of each
     global minibatch; _ppo_update restores global semantics with
     psums/pmeans over the axis. All three index-selection modes work
-    there: ``rollout_data`` and the PRNG enter the region replicated over
-    ``data``, so the filter argsort / max-advantage EMA and the
-    importance-sampling draw compute the identical global index set and
-    trajectory weights on every shard — only the minibatch *rows* each
-    shard optimizes differ (its equal slice), exactly as in the uniform
-    mode (equality tests:
-    tests/test_sharding.py::test_manual_learn_minibatch_modes_match_gspmd).
+    there — filter argsort / max-advantage EMA and the importance-sampling
+    draw compute the identical global index set and trajectory weights on
+    every shard from replicated rollout data + PRNG; only the minibatch
+    *rows* each shard optimizes differ (its equal slice). Equality tests:
+    tests/test_sharding.py::test_manual_learn_minibatch_modes_match_gspmd.
+
+    Uniform mode additionally supports STRATIFIED composition
+    (``stratify`` > 1, from ``resolve_stratify``): sequences form
+    ``stratify`` equal contiguous blocks, shuffled independently per
+    epoch, each minibatch drawing an equal slice of every block. With
+    ``rows_sharded`` (manual region, data shard owns ``stratify /
+    axis_size`` whole blocks) each shard selects its rows from its LOCAL
+    slice of the store — zero collectives where the replicated entry paid
+    a full-store all-gather at the region boundary. The composition is
+    identical either way (pure function of config + PRNG).
     """
+    assert not rows_sharded or not (
+        cfg.filter_advantages or cfg.importance_sample_trajectories), (
+        "rows_sharded applies to uniform minibatches only; advantage "
+        "filtering / importance sampling need the replicated store "
+        "(train.py gates this)")
     if cfg.filter_advantages:
         rollout_data = rollout_data.flatten_time()
 
@@ -518,14 +577,49 @@ def _ppo(
             sample_rnd, num_total, shape=(num_sampled,), replace=False,
             p=traj_probs)
     else:
-        num_trajectories = rollout_data.all()["dones"].shape[0]
+        num_local_rows = rollout_data.all()["dones"].shape[0]
+        num_shards = lax.axis_size(data_axis) if rows_sharded else 1
+        num_trajectories = num_local_rows * num_shards
         assert num_trajectories % cfg.algo.minibatch_size == 0, (
             f"minibatch_size ({cfg.algo.minibatch_size}) must evenly divide "
             f"the {num_trajectories} training sequences per policy "
             f"(= num_bptt_chunks * train agents per policy)")
         num_minibatches = num_trajectories // cfg.algo.minibatch_size
+        if rows_sharded:
+            assert stratify > 1 and stratify % num_shards == 0, (
+                f"rows_sharded needs stratify ({stratify}) divisible by "
+                f"the data axis ({num_shards})")
         valid_inds = jnp.arange(num_trajectories)
-        traj_weights = jnp.ones((num_trajectories, 1), jnp.float32)
+        traj_weights = jnp.ones((num_local_rows, 1), jnp.float32)
+
+    def uniform_stratified_inds(mb_rnd):
+        """Per-epoch minibatch index stream, stratified composition.
+
+        Every path derives the SAME [stratify, block] permutations from the
+        replicated PRNG; the flattened stream orders each minibatch
+        block-major, so a contiguous [mb_i*MB, (mb_i+1)*MB) slice is
+        minibatch i and the data shard owning blocks [s*k, (s+1)*k) holds
+        exactly its [s*MB/D, (s+1)*MB/D) sub-slice — the two layouts index
+        identical rows.
+        """
+        block = num_trajectories // stratify  # rows per block
+        per_mb = cfg.algo.minibatch_size // stratify  # block rows per mb
+        keys = random.split(mb_rnd, stratify)
+        perms = jax.vmap(
+            lambda key: random.permutation(key, block))(keys)
+        if rows_sharded:
+            # This shard owns whole blocks; emit LOCAL row ids.
+            blocks_here = stratify // num_shards
+            perms = lax.dynamic_slice(
+                perms, (lax.axis_index(data_axis) * blocks_here, 0),
+                (blocks_here, block))
+        ids = jnp.arange(perms.shape[0])[:, None] * block + perms
+        # [blocks, num_mb, per_mb] -> [num_mb, blocks, per_mb] -> flat
+        ids = ids.reshape(perms.shape[0], num_minibatches, per_mb)
+        return ids.transpose(1, 0, 2).reshape(-1)
+
+    uniform_mode = not (cfg.filter_advantages
+                        or cfg.importance_sample_trajectories)
 
     def epoch_iter(epoch_i, inputs):
         policy_state, train_state, metrics = inputs
@@ -533,11 +627,14 @@ def _ppo(
         mb_rnd, train_state = train_state.gen_update_rnd()
 
         with profile("Compute Minibatch Indices"):
-            rnd_inds = random.permutation(mb_rnd, valid_inds)
-            if cfg.filter_advantages:
-                # Push -1 sentinels to the back, keeping shuffled order.
-                keys = jnp.where(rnd_inds == -1, 1, 0)
-                rnd_inds = rnd_inds[jnp.argsort(keys, stable=True)]
+            if uniform_mode and stratify > 1:
+                rnd_inds = uniform_stratified_inds(mb_rnd)
+            else:
+                rnd_inds = random.permutation(mb_rnd, valid_inds)
+                if cfg.filter_advantages:
+                    # Push -1 sentinels to the back, keeping shuffled order.
+                    keys = jnp.where(rnd_inds == -1, 1, 0)
+                    rnd_inds = rnd_inds[jnp.argsort(keys, stable=True)]
 
         def mb_iter(mb_i, inputs):
             policy_state, train_state, metrics = inputs
@@ -547,6 +644,15 @@ def _ppo(
                     mb_inds = lax.dynamic_slice(
                         rnd_inds, (mb_i * cfg.algo.minibatch_size,),
                         (cfg.algo.minibatch_size,))
+                elif rows_sharded:
+                    # rnd_inds are already this shard's local row ids for
+                    # its slice of every minibatch (uniform_stratified_inds)
+                    # — a zero-collective local gather from the
+                    # data-sharded store.
+                    local_size = (cfg.algo.minibatch_size
+                                  // lax.axis_size(data_axis))
+                    mb_inds = lax.dynamic_slice(
+                        rnd_inds, (mb_i * local_size,), (local_size,))
                 else:
                     # Equal disjoint slice of the global minibatch for this
                     # data shard: the permutation is replicated, the rows

@@ -35,6 +35,7 @@ from .config import (
     ActionsConfig,
     ContinuousActionsConfig,
     DiscreteActionsConfig,
+    MeshConfig,
     TrainConfig,
 )
 from .ops.gae import compute_advantages, compute_returns
@@ -90,6 +91,11 @@ class RolloutConfig:
     reward_dtype: jnp.dtype
     prob_dtype: jnp.dtype
     pbt: PBTMatchmakeConfig
+    # Device mesh of the surrounding training/eval program, when one
+    # exists. The rollout loop uses it to pin the read-only inference copy
+    # of the policy population replicated across the mesh (see
+    # parallel.mesh.replicate_for_inference); None = single device.
+    mesh: Optional["MeshConfig"] = None
 
     @staticmethod
     def setup(
@@ -110,6 +116,7 @@ class RolloutConfig:
         prob_dtype: jnp.dtype = jnp.float32,
         policy_chunk_size_override: int = 0,
         data_shards: int = 1,
+        mesh_cfg: Optional[MeshConfig] = None,
     ) -> "RolloutConfig":
         pbt = PBTMatchmakeConfig.setup(
             num_current_policies=num_current_policies,
@@ -206,6 +213,7 @@ class RolloutConfig:
             reward_dtype=reward_dtype,
             prob_dtype=prob_dtype,
             pbt=pbt,
+            mesh=mesh_cfg,
         )
 
 
@@ -419,6 +427,14 @@ def rollout_loop(
     XLA keeps weights resident across steps.
     """
     cfg = rollout_state.cfg
+
+    # Multi-device mesh: the per-step per-chunk weight gather must read a
+    # REPLICATED population — from a policy-sharded one it lowers to a
+    # [num_chunks x params] all-reduce over the policy axis every step
+    # (measured 44.85 GB/device/update at BASELINE config-#5 scale,
+    # scripts/comm_budget.py). One all-gather per loop instead.
+    from .parallel.mesh import replicate_for_inference
+    policy_states = replicate_for_inference(policy_states, cfg.mesh)
 
     def obs_preprocess_fn(state, obs):
         return state.obs_preprocess.preprocess(
@@ -725,7 +741,13 @@ class RolloutManager:
         user_finish_rollouts_hook: Callable,
         user_metrics_hook: Callable,
     ):
-        policy_states = train_state_mgr.policy_states
+        # Replicate the read-only inference copy of the population ONCE per
+        # collect, outside the bptt-chunk scan — rollout_loop's own
+        # constraint (inside the scanned chunk body) then folds away. The
+        # learn phase keeps consuming the policy-sharded original.
+        from .parallel.mesh import replicate_for_inference
+        policy_states = replicate_for_inference(
+            train_state_mgr.policy_states, self._mesh_cfg)
         user_state = train_state_mgr.user_state
 
         rollout_state, user_state = user_start_rollouts_hook(

@@ -49,7 +49,7 @@ from .rollouts import (
     rollout_loop,
     rollouts_reset,
 )
-from .parallel.mesh import DATA_AXIS, POLICY_AXIS, make_mesh
+from .parallel.mesh import DATA_AXIS, MODEL_AXIS, POLICY_AXIS, make_mesh
 from .train_state import TrainStateManager
 from .utils.profile import profile
 
@@ -221,26 +221,42 @@ def _manual_learn_fallback_reason(cfg: TrainConfig) -> Optional[str]:
     if (mesh_cfg is None or mesh_cfg.num_devices <= 1
             or not mesh_cfg.manual_learn):
         return None
-    if mesh_cfg.model > 1:
-        # Tensor-parallel kernels would need manual collectives inside the
-        # matmuls; TP stays on the GSPMD path.
-        return ("model-axis tensor parallelism (mesh.model="
-                f"{mesh_cfg.model} > 1)")
     # Advantage filtering / importance sampling ARE supported: rollout
     # data and the per-policy PRNG enter the region replicated over
     # ``data``, so index selection is shard-invariant (ppo._ppo).
     # fp16 DynamicScale IS supported: the manual-region scaler derives
     # finiteness from the pmean'd global gradient, which is shard-invariant
     # (ppo._scaler_value_and_grad_manual).
+    # Model-axis TP IS supported: inside the region the model axis acts as
+    # additional batch parallelism (_learn_row_axes) — recurrent-sequence
+    # TP would put a collective inside every time step, which is
+    # latency-poison on TPU, while the wide-matmul TP keeps serving
+    # rollout inference under GSPMD (parallel/mesh.py:
+    # replicate_for_inference keeps kernels model-sharded there). Params
+    # enter the region gathered over ``model`` (param-sized, once per
+    # update) and leave re-sharded by GSPMD.
     num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
     if num_train_policies % mesh_cfg.policy != 0:
         return (f"num_train_policies ({num_train_policies}) does not "
                 f"divide over mesh.policy ({mesh_cfg.policy})")
+    row_shards = mesh_cfg.data * mesh_cfg.model
     minibatch_size = getattr(cfg.algo, "minibatch_size", None)
-    if minibatch_size is None or minibatch_size % mesh_cfg.data != 0:
+    if minibatch_size is None or minibatch_size % row_shards != 0:
         return (f"minibatch_size ({minibatch_size}) does not divide over "
-                f"mesh.data ({mesh_cfg.data})")
+                f"mesh.data x mesh.model ({row_shards})")
     return None
+
+
+def _learn_row_axes(cfg: TrainConfig):
+    """Mesh axes the learn region splits minibatch rows over.
+
+    ``model > 1`` folds the model axis into the row split: the learn
+    phase treats it as extra batch parallelism (see
+    _manual_learn_fallback_reason). Returns a plain axis name on
+    model==1 meshes so single-axis traces stay identical."""
+    if cfg.mesh is not None and cfg.mesh.model > 1:
+        return (DATA_AXIS, MODEL_AXIS)
+    return DATA_AXIS
 
 
 def _manual_learn_enabled(cfg: TrainConfig) -> bool:
@@ -298,17 +314,38 @@ def _update_impl(
     metrics: TrainingMetrics,
     update_idx,
 ):
+    from .ppo import resolve_stratify
+
+    num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
+    manual_learn = _manual_learn_enabled(cfg)
+    # Uniform-mode stratified minibatch composition (pure function of
+    # config + PRNG — identical on every execution path; see
+    # ppo.resolve_stratify). When the blocks divide over the data axis the
+    # manual region takes rollout data SHARDED over ``data`` and each
+    # shard selects its minibatch rows locally — no full-store all-gather
+    # at the region boundary (VERDICT r3 item 2).
+    stratify = resolve_stratify(cfg, rollout_mgr._num_train_seqs_per_policy)
+    row_axes = _learn_row_axes(cfg)
+    num_row_shards = (cfg.mesh.data * cfg.mesh.model
+                      if cfg.mesh is not None else 1)
+    rows_sharded = (manual_learn and stratify > 1
+                    and stratify % num_row_shards == 0)
+
     @jax.vmap
     def algo_wrapper(policy_state, train_state, rollout_data, metrics):
         return algo.update(
             cfg, policy_state, train_state, rollout_data,
-            user_hooks.optimize_metrics, metrics)
+            user_hooks.optimize_metrics, metrics,
+            stratify=stratify)
 
     def learn_manual(policy_states, train_states, rollout_data, metrics):
         """The GSPMD-free learn phase: manual over every mesh axis.
 
         Everything enters sharded over ``policy`` on its (stacked) leading
-        axis and replicated over ``data``; inside, each device vmaps over
+        axis; the trajectory store additionally enters sharded over
+        ``data`` on its row axis in the stratified uniform mode
+        (``rows_sharded`` — zero-collective local minibatch selection) and
+        replicated over ``data`` otherwise. Inside, each device vmaps over
         its local policies and optimizes the ``data``-sliced minibatches
         (see ppo._ppo). Because the region is manual over every axis,
         ``pallas_backend_ok`` holds and the fused Mosaic kernels serve the
@@ -321,9 +358,12 @@ def _update_impl(
             return algo.update(
                 cfg, policy_state, train_state, rollout_data,
                 user_hooks.optimize_metrics, metrics,
-                data_axis=DATA_AXIS)
+                data_axis=row_axes, stratify=stratify,
+                rows_sharded=rows_sharded)
 
         spec = jax.sharding.PartitionSpec(POLICY_AXIS)
+        data_spec = (jax.sharding.PartitionSpec(POLICY_AXIS, row_axes)
+                     if rows_sharded else spec)
         # check_vma=False: pallas_call inside shard_map has no vma
         # metadata on its out_shapes; data-axis invariance of every output
         # is established by the pmeans/psums in ppo._ppo_update and
@@ -331,13 +371,10 @@ def _update_impl(
         # (tests/test_sharding.py).
         mapped = jax.shard_map(
             one_policy, mesh=mesh,
-            in_specs=(spec, spec, spec, spec),
+            in_specs=(spec, spec, data_spec, spec),
             out_specs=spec,
             check_vma=False)
         return mapped(policy_states, train_states, rollout_data, metrics)
-
-    num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
-    manual_learn = _manual_learn_enabled(cfg)
 
     with profile("Update Iter"):
         with profile("Collect Rollouts"):
@@ -409,6 +446,7 @@ def _setup_rollout_cfg(cfg: TrainConfig) -> RolloutConfig:
             # Shard-local reorder when the sim batch is sharded: per-step
             # chunk construction and gathers stay inside each data shard.
             data_shards=(cfg.mesh.data if cfg.mesh is not None else 1),
+            mesh_cfg=cfg.mesh,
         )
 
     return RolloutConfig.setup(
@@ -425,6 +463,7 @@ def _setup_rollout_cfg(cfg: TrainConfig) -> RolloutConfig:
         reward_gamma=cfg.gamma,
         custom_policy_ids=cfg.custom_policy_ids,
         policy_dtype=cfg.compute_dtype,
+        mesh_cfg=cfg.mesh,
     )
 
 

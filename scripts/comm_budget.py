@@ -209,6 +209,70 @@ def ring_traffic_per_device(kind: str, global_bytes: int, group_size: int,
     return global_bytes
 
 
+def parse_collectives(hlo: str, data: int, policy: int, static_loops):
+    """Every collective in the optimized HLO text as an analysis row.
+
+    ``static_loops`` supplies the loop trip counts the HLO text does not
+    expose (see ``loop_multiplicity``): a dict with steps_per_update,
+    num_bptt_chunks, num_epochs, num_minibatches.
+    """
+    num_devices = data * policy
+    axis_groups = mesh_axis_groups(data, policy)
+
+    rows = []
+    for line in hlo.splitlines():
+        m = re.match(
+            r"\s*%?[\w.-]+ = ((?:\([^)]*\)|\S+)) (" +
+            "|".join(COLLECTIVE_KINDS) + r")\(", line)
+        if not m:
+            continue
+        shape_text, kind = m.group(1), m.group(2)
+        # all-*-start/done variants are matched by prefix; skip the *-done
+        # halves (the start row carries the shape).
+        gbytes_shard_or_global = shape_bytes(shape_text)
+        op_name_m = re.search(r'op_name="([^"]*)"', line)
+        op_name = op_name_m.group(1) if op_name_m else ""
+        phase = phase_of(op_name)
+        mult = loop_multiplicity(op_name, phase, static_loops)
+
+        if kind == "collective-permute":
+            pairs = parse_permute_pairs(line) or []
+            axis = classify_permute_axis(pairs, axis_groups)
+            group_size = num_devices  # unused for permute traffic
+            shard_bytes = gbytes_shard_or_global  # result = one shard
+            global_bytes = shard_bytes * max(len(pairs), 1)
+        else:
+            groups = parse_replica_groups(line, num_devices)
+            if not groups:
+                axis, group_size = "unknown", num_devices
+            else:
+                axis = classify_axis(groups, axis_groups)
+                group_size = len(next(iter(groups)))
+            if kind == "all-gather":
+                # result type is the GLOBAL (gathered) shape
+                global_bytes = gbytes_shard_or_global
+                shard_bytes = global_bytes // max(group_size, 1)
+            elif kind == "reduce-scatter":
+                # result is the per-shard shape
+                shard_bytes = gbytes_shard_or_global
+                global_bytes = shard_bytes * group_size
+            else:  # all-reduce / all-to-all: result = input = global
+                global_bytes = gbytes_shard_or_global
+                shard_bytes = global_bytes // max(group_size, 1)
+
+        traffic = ring_traffic_per_device(
+            kind, global_bytes, group_size, shard_bytes)
+        rows.append({
+            "kind": kind, "shape": shape_text, "axis": axis,
+            "phase": phase, "group_size": group_size,
+            "global_bytes": global_bytes, "shard_bytes": shard_bytes,
+            "mult": mult,
+            "traffic_per_device_bytes": traffic * mult,
+            "op_name": op_name[:160],
+        })
+    return rows
+
+
 def build_manager(args):
     import madrona_learn_tpu as mlt
     from madrona_learn_tpu.envs import ToyEnvConfig, make_duel_env
@@ -317,60 +381,7 @@ def main():
         with open(args.hlo_out, "w") as f:
             f.write(hlo)
 
-    num_devices = args.data * args.policy
-    axis_groups = mesh_axis_groups(args.data, args.policy)
-
-    rows = []
-    for line in hlo.splitlines():
-        m = re.match(
-            r"\s*%?[\w.-]+ = ((?:\([^)]*\)|\S+)) (" +
-            "|".join(COLLECTIVE_KINDS) + r")\(", line)
-        if not m:
-            continue
-        shape_text, kind = m.group(1), m.group(2)
-        # all-*-start/done variants are matched by prefix; skip the *-done
-        # halves (the start row carries the shape).
-        gbytes_shard_or_global = shape_bytes(shape_text)
-        op_name_m = re.search(r'op_name="([^"]*)"', line)
-        op_name = op_name_m.group(1) if op_name_m else ""
-        phase = phase_of(op_name)
-        mult = loop_multiplicity(op_name, phase, static)
-
-        if kind == "collective-permute":
-            pairs = parse_permute_pairs(line) or []
-            axis = classify_permute_axis(pairs, axis_groups)
-            group_size = num_devices  # unused for permute traffic
-            shard_bytes = gbytes_shard_or_global  # result = one shard
-            global_bytes = shard_bytes * max(len(pairs), 1)
-        else:
-            groups = parse_replica_groups(line, num_devices)
-            if not groups:
-                axis, group_size = "unknown", num_devices
-            else:
-                axis = classify_axis(groups, axis_groups)
-                group_size = len(next(iter(groups)))
-            if kind == "all-gather":
-                # result type is the GLOBAL (gathered) shape
-                global_bytes = gbytes_shard_or_global
-                shard_bytes = global_bytes // max(group_size, 1)
-            elif kind == "reduce-scatter":
-                # result is the per-shard shape
-                shard_bytes = gbytes_shard_or_global
-                global_bytes = shard_bytes * group_size
-            else:  # all-reduce / all-to-all: result = input = global
-                global_bytes = gbytes_shard_or_global
-                shard_bytes = global_bytes // max(group_size, 1)
-
-        traffic = ring_traffic_per_device(
-            kind, global_bytes, group_size, shard_bytes)
-        rows.append({
-            "kind": kind, "shape": shape_text, "axis": axis,
-            "phase": phase, "group_size": group_size,
-            "global_bytes": global_bytes, "shard_bytes": shard_bytes,
-            "mult": mult,
-            "traffic_per_device_bytes": traffic * mult,
-            "op_name": op_name[:160],
-        })
+    rows = parse_collectives(hlo, args.data, args.policy, static)
 
     # ---- aggregate --------------------------------------------------------
     agg = defaultdict(lambda: {"count": 0, "execs": 0, "bytes": 0.0,
@@ -389,11 +400,21 @@ def main():
     tD, tP = args.target_data, args.target_policy
 
     def extrapolate(r):
-        kind, axis = r["kind"], r["axis"]
+        kind, axis, phase = r["kind"], r["axis"], r["phase"]
         if axis == "data":
             g = tD
-            shard = r["shard_bytes"]            # constant under weak scaling
-            glob = shard * g
+            if kind == "all-reduce" and phase == "Learn":
+                # Learn-phase psums reduce param-sized tensors (gradients,
+                # normalizer stats): global size is FIXED, independent of
+                # the data axis.
+                glob = r["global_bytes"]
+                shard = glob // max(g, 1)
+            else:
+                # Everything else over data carries (pieces of) the
+                # batch, which weak-scales with the axis: per-device
+                # share constant.
+                shard = r["shard_bytes"]
+                glob = shard * g
         elif axis == "policy":
             g = tP
             glob = r["global_bytes"]            # fixed population

@@ -473,6 +473,11 @@ def test_manual_learn_region_routes_kernels(eight_devices, monkeypatch):
     num_worlds = 32
     dtype = jnp.float32
 
+    # The data=4 mesh defaults to 4-block stratified minibatch composition
+    # (zero-collective row selection inside the manual region); pin the
+    # same composition on the single-device comparator so the runs are
+    # bit-comparable — minibatch_stratify exists exactly so learning
+    # curves stay independent of deployment mesh size.
     def build(seed, mesh_cfg):
         actions = {"move": mlt.DiscreteActionsConfig(
             actions_num_buckets=[5])}
@@ -503,6 +508,7 @@ def test_manual_learn_region_routes_kernels(eight_devices, monkeypatch):
                 max_grad_norm=0.5),
             dreamer_v3_critic=False,
             mesh=mesh_cfg,
+            minibatch_stratify=4,
             use_pallas_gae=True)
         return mlt.init_training(
             None, cfg, sim_fns, policy,
@@ -713,6 +719,191 @@ def test_manual_learn_fallback_warns_with_reason(eight_devices):
         _warnings.simplefilter("error", UserWarning)
         build_training_mgr(seed=5, mesh=mlt.MeshConfig(
             data=4, policy=2, manual_learn=False))
+
+
+def test_update_step_collective_budget(eight_devices):
+    """Structural communication guarantees of the compiled sharded update
+    step (VERDICT r3 items 1+2), asserted on the optimized HLO via the
+    comm-budget parser (scripts/comm_budget.py):
+
+    1. The manual learn region pays NO store replication over ``data`` —
+       no all-gather/all-to-all over the data axis anywhere in the Learn
+       phase (rows enter pre-sharded; each shard selects its stratified
+       minibatch rows locally). The only Learn-phase data-axis
+       collectives are the all-reduces restoring global loss/gradient/
+       normalizer/metric semantics.
+    2. The rollout loop performs NO per-step weight traffic over
+       ``policy``: the population is replicated for inference once per
+       update (one all-gather outside the step loop), so no
+       all-reduce/all-gather over policy executes inside the rollout
+       while-loops (this was 97% of all step communication — 44.85 GB vs
+       1.35 GB per device per update at the weak-scaled config-#5 shape).
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import comm_budget as cb
+
+    mesh_cfg = mlt.MeshConfig(data=2, policy=2, manual_learn=True)
+    mgr = build_training_mgr(seed=91, mesh=mesh_cfg)
+    assert mlt.train._manual_learn_enabled(mgr.cfg)
+
+    mesh = make_mesh(mesh_cfg, eight_devices[:4])
+    mgr = shard_training_manager(mgr, mesh)
+    compiled = jax.jit(
+        lambda m: m.update_iter(), donate_argnums=0).lower(mgr).compile()
+
+    static = {
+        "steps_per_update": mgr.cfg.steps_per_update,
+        "num_bptt_chunks": mgr.cfg.num_bptt_chunks,
+        "num_epochs": mgr.cfg.algo.num_epochs,
+        "num_minibatches": 2,  # 20 seqs / minibatch 10
+    }
+    rows = cb.parse_collectives(
+        compiled.as_text(), mesh_cfg.data, mesh_cfg.policy, static)
+    assert rows, "expected collectives in a sharded program"
+
+    learn_data_moves = [
+        r for r in rows
+        if r["phase"] == "Learn" and r["axis"] == "data"
+        and r["kind"] in ("all-gather", "all-to-all", "collective-permute")]
+    assert not learn_data_moves, (
+        "manual learn region replicated/moved rollout rows over data:\n"
+        + "\n".join(str(r) for r in learn_data_moves))
+
+    step_policy_weight_moves = [
+        r for r in rows
+        if r["phase"] == "Collect Rollouts" and r["axis"] == "policy"
+        and r["kind"] in ("all-reduce", "all-gather")
+        and "while/body" in r["op_name"]
+        # The fake-sim episode bookkeeping carries a few scalar counters;
+        # only param-scale traffic indicates a weight gather.
+        and r["global_bytes"] >= 16 * 1024]
+    assert not step_policy_weight_moves, (
+        "per-step weight traffic over the policy axis:\n"
+        + "\n".join(str(r) for r in step_policy_weight_moves))
+
+    # The once-per-update population replication DOES exist (that is the
+    # mechanism that makes the per-step gathers local).
+    population_gathers = [
+        r for r in rows
+        if r["phase"] == "Collect Rollouts" and r["axis"] == "policy"
+        and r["kind"] == "all-gather" and "while/body" not in r["op_name"]]
+    assert population_gathers, (
+        "expected the per-update population all-gather for inference")
+
+
+def test_manual_learn_model_axis_matches_gspmd(eight_devices):
+    """VERDICT r3 item 3: mesh.model > 1 no longer forces the manual learn
+    region to fall back to GSPMD. Design under test: rollout inference
+    keeps the wide kernels genuinely model-sharded (GSPMD partitions the
+    matmuls — model-axis collectives must appear in the Collect phase),
+    while the learn region folds the model axis into the minibatch row
+    split (recurrent-sequence TP would put a collective inside every time
+    step). One update on a (data=2, policy=1, model=2) mesh must equal
+    the GSPMD comparator (same cfg, manual_learn=False) down to params."""
+    import os
+    import sys
+
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import comm_budget as cb
+
+    num_worlds = 32
+    dtype = jnp.float32
+
+    def build(mesh_cfg):
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=29))
+        # 512-wide trunk and a 4H=1024 LSTM kernel: both clear the TP
+        # rule's min_dim so inference really shards over model.
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=RecurrentBackboneEncoder(
+                    net=MLP(num_channels=512, num_layers=1, dtype=dtype),
+                    rnn=LSTM(num_hidden_channels=256, num_layers=1,
+                             dtype=dtype))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=1,
+            actions=actions, steps_per_update=8, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=29,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=32,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            mesh=mesh_cfg)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mesh_on = mlt.MeshConfig(data=2, policy=1, model=2, manual_learn=True)
+    mesh_off = mlt.MeshConfig(data=2, policy=1, model=2,
+                              manual_learn=False)
+    assert mlt.train._manual_learn_enabled(build(mesh_on).cfg), (
+        "model>1 must no longer fall back")
+
+    update = jax.jit(lambda m: m.update_iter())
+    mesh = make_mesh(mesh_on, eight_devices[:4])
+
+    outs = {}
+    for name, mesh_cfg in (("manual", mesh_on), ("gspmd", mesh_off)):
+        mgr = shard_training_manager(build(mesh_cfg), mesh)
+        if name == "manual":
+            compiled = update.lower(mgr).compile()
+            # The real mesh is (data=2, policy=1, model=2): device id =
+            # data*2 + model, so parsing with a (2, 2) grid maps the
+            # 'policy' slot of the parser onto the MODEL axis groups.
+            rows = cb.parse_collectives(
+                compiled.as_text(), 2, 2,
+                {"steps_per_update": 8, "num_bptt_chunks": 2,
+                 "num_epochs": 1, "num_minibatches": 2})
+            collect_model = [
+                r for r in rows
+                if r["phase"] == "Collect Rollouts"
+                and r["axis"] in ("policy", "mixed")]
+            assert collect_model, (
+                "expected model-axis collectives from TP-partitioned "
+                "inference matmuls")
+            learn_moves = [
+                r for r in rows
+                if r["phase"] == "Learn"
+                and r["kind"] in ("all-gather", "all-to-all")
+                and r["axis"] == "data"]
+            assert not learn_moves, learn_moves
+            outs[name] = compiled(mgr)
+        else:
+            outs[name] = update(mgr)
+
+    got = np.asarray(outs["manual"].metrics.metrics["Loss"].mean)
+    want = np.asarray(outs["gspmd"].metrics.metrics["Loss"].mean)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        jax.device_get(outs["manual"].state.policy_states.params),
+        jax.device_get(outs["gspmd"].state.policy_states.params))
 
 
 @pytest.mark.parametrize("mode", ["filter", "importance"])
