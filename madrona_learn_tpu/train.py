@@ -235,15 +235,12 @@ def _manual_learn_fallback_reason(cfg: TrainConfig) -> Optional[str]:
     # replicate_for_inference keeps kernels model-sharded there). Params
     # enter the region gathered over ``model`` (param-sized, once per
     # update) and leave re-sharded by GSPMD.
-    num_train_policies = cfg.pbt.num_train_policies if cfg.pbt else 1
-    if num_train_policies % mesh_cfg.policy != 0:
-        return (f"num_train_policies ({num_train_policies}) does not "
-                f"divide over mesh.policy ({mesh_cfg.policy})")
-    row_shards = mesh_cfg.data * mesh_cfg.model
-    minibatch_size = getattr(cfg.algo, "minibatch_size", None)
-    if minibatch_size is None or minibatch_size % row_shards != 0:
-        return (f"minibatch_size ({minibatch_size}) does not divide over "
-                f"mesh.data x mesh.model ({row_shards})")
+    # Non-dividing sizes ARE supported (VERDICT r3 item 4): a population
+    # that does not divide over mesh.policy is padded with discarded
+    # copies of policy 0 inside learn_manual, and a minibatch that does
+    # not divide over data x model pads each shard's slice with weight-0
+    # rows whose reductions use psum(sum)/psum(real count) denominators
+    # (ppo._ppo / _ppo_update).
     return None
 
 
@@ -361,6 +358,34 @@ def _update_impl(
                 data_axis=row_axes, stratify=stratify,
                 rows_sharded=rows_sharded)
 
+        # A population that does not divide over mesh.policy is padded
+        # with copies of policy 0 whose updates are computed and then
+        # discarded (cost: one wasted policy slot on the padded shards).
+        # The heuristic pads every array leaf whose leading dim is the
+        # train-policy count — all stacked trees entering the region are
+        # policy-major. (A non-per-policy metric whose buffer length
+        # collides with the policy count was never representable under
+        # the P(policy) specs below in the first place.)
+        pad_p = (-num_train_policies) % cfg.mesh.policy
+
+        def pad_policy_leaf(x):
+            if (isinstance(x, jax.Array) and x.ndim >= 1
+                    and x.shape[0] == num_train_policies):
+                return jnp.concatenate([x] + [x[:1]] * pad_p, axis=0)
+            return x
+
+        def slice_policy_leaf(x):
+            if (isinstance(x, jax.Array) and x.ndim >= 1
+                    and x.shape[0] == num_train_policies + pad_p):
+                return x[:num_train_policies]
+            return x
+
+        if pad_p:
+            (policy_states, train_states, rollout_data, metrics) = (
+                jax.tree.map(
+                    pad_policy_leaf,
+                    (policy_states, train_states, rollout_data, metrics)))
+
         spec = jax.sharding.PartitionSpec(POLICY_AXIS)
         data_spec = (jax.sharding.PartitionSpec(POLICY_AXIS, row_axes)
                      if rows_sharded else spec)
@@ -374,7 +399,10 @@ def _update_impl(
             in_specs=(spec, spec, data_spec, spec),
             out_specs=spec,
             check_vma=False)
-        return mapped(policy_states, train_states, rollout_data, metrics)
+        out = mapped(policy_states, train_states, rollout_data, metrics)
+        if pad_p:
+            out = jax.tree.map(slice_policy_leaf, out)
+        return out
 
     with profile("Update Iter"):
         with profile("Collect Rollouts"):

@@ -27,6 +27,18 @@ Configs (VERDICT r2 item 5: deepen parity to where the semantics bite):
   deliberately corrected the two-hot interpolation weights, so the
   check is curve-level (within seed variance), not bitwise. Measured
   divergence IN OUR FAVOR is expected here (see ``dreamer_swapped``).
+- ``filter``: advantage filtering (train only on datapoints whose |adv|
+  clears a threshold tied to an EMA of the max advantage; reference:
+  ppo.py:374-406) — exercises the flatten-time path, the max-advantage
+  EMA, and the dynamic minibatch count. Runs with a FEEDFORWARD backbone
+  on both sides: the reference's flatten_time crashes recurrent
+  backbones on its own API (ScopeParamShapeError in the LSTM sequence
+  re-scan — flattened [N*T, 1] minibatches transpose the cell input), and
+  this repo matches that limitation (filtering is documented for
+  feedforward use).
+- ``importance``: trajectory importance sampling (sample sequences by
+  |adv| + value error with unbiasedness weights; reference:
+  ppo.py:407-435).
 - ``dreamer_swapped``: controlled experiment isolating the cause of the
   ``dreamer`` gap — runs OUR stack with the reference's swapped two-hot
   weights (reference dists.py:193-200 puts more mass on the *farther*
@@ -101,14 +113,15 @@ def _patch_swapped_two_hot():
 
 
 def run_ours(seed, num_updates, num_worlds, normalize_values=False,
-             dreamer_critic=False, swapped_two_hot=False):
+             dreamer_critic=False, swapped_two_hot=False, overrides=None,
+             recurrent=True):
     if swapped_two_hot:
         _patch_swapped_two_hot()
     import madrona_learn_tpu as mlt
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
     from madrona_learn_tpu.models import (
-        ActorCritic, BackboneShared, DenseLayerCritic, DreamerV3Critic,
-        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        ActorCritic, BackboneEncoder, BackboneShared, DenseLayerCritic,
+        DreamerV3Critic, DenseLayerDiscreteActor, DictActor, LSTM, MLP,
         RecurrentBackboneEncoder)
 
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
@@ -120,11 +133,14 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
         backbone=BackboneShared(
             prefix=lambda obs, train: jnp.concatenate(
                 [obs["delta"], obs["time"]], axis=-1),
-            encoder=RecurrentBackboneEncoder(
+            encoder=(RecurrentBackboneEncoder(
                 net=MLP(num_channels=NUM_CHANNELS, num_layers=2,
                         dtype=jnp.float32),
                 rnn=LSTM(num_hidden_channels=NUM_CHANNELS, num_layers=1,
-                         dtype=jnp.float32))),
+                         dtype=jnp.float32)) if recurrent
+                else BackboneEncoder(
+                    net=MLP(num_channels=NUM_CHANNELS, num_layers=2,
+                            dtype=jnp.float32)))),
         actor=DictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
         critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
@@ -143,7 +159,8 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
             num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
             value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
         dreamer_v3_critic=dreamer_critic,
-        normalize_values=normalize_values)
+        normalize_values=normalize_values,
+        **(overrides or {}))
 
     mgr = mlt.init_training(None, cfg, sim_fns, policy,
                             init_sim_ctrl=jnp.zeros((1,), jnp.int32))
@@ -157,7 +174,7 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
 
 
 def run_reference(seed, num_updates, num_worlds, normalize_values=False,
-                  dreamer_critic=False):
+                  dreamer_critic=False, overrides=None, recurrent=True):
     sys.path.insert(0, REF_SRC)
     import flax
     import flax.linen as nn
@@ -215,11 +232,14 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
         backbone=ml.BackboneShared(
             prefix=lambda obs, train: jnp.concatenate(
                 [obs["delta"], obs["time"]], axis=-1),
-            encoder=ml.RecurrentBackboneEncoder(
+            encoder=(ml.RecurrentBackboneEncoder(
                 net=MLP(num_channels=NUM_CHANNELS, num_layers=2,
                         dtype=jnp.float32),
                 rnn=LSTM(num_hidden_channels=NUM_CHANNELS, num_layers=1,
-                         dtype=jnp.float32))),
+                         dtype=jnp.float32)) if recurrent
+                else ml.BackboneEncoder(
+                    net=MLP(num_channels=NUM_CHANNELS, num_layers=2,
+                            dtype=jnp.float32)))),
         actor=RefDictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
         critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
@@ -239,7 +259,8 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
             value_loss_coef=0.5, entropy_coef={"move": 0.01},
             max_grad_norm=0.5),
         dreamer_v3_critic=dreamer_critic,
-        normalize_values=normalize_values)
+        normalize_values=normalize_values,
+        **(overrides or {}))
 
     mgr = ml.init_training(jax.devices()[0], cfg, sim_fns, policy,
                            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
@@ -256,7 +277,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config",
                         choices=("base", "valuenorm", "dreamer",
-                                 "dreamer_swapped"),
+                                 "dreamer_swapped", "filter", "importance"),
                         default="base")
     parser.add_argument("--updates", type=int, default=30)
     parser.add_argument("--worlds", type=int, default=256)
@@ -267,15 +288,26 @@ def main():
     normalize_values = args.config == "valuenorm"
     dreamer_critic = args.config in ("dreamer", "dreamer_swapped")
     swapped_two_hot = args.config == "dreamer_swapped"
+    overrides = None
+    recurrent = True
+    if args.config == "filter":
+        overrides = {"filter_advantages": True}
+        recurrent = False  # see the config docstring
+    elif args.config == "importance":
+        # 2 x minibatch_size sampled sequences out of 2 x num_worlds
+        # (both implementations assert num_sampled < num_total).
+        overrides = {"importance_sample_trajectories": True,
+                     "importance_sample_num_minibatches": 2}
     ref_curves, our_curves = [], []
     for s in range(args.seeds):
         print(f"--- reference seed {s} ({args.config}) ---", flush=True)
         ref_curves.append(run_reference(
-            s, args.updates, args.worlds, normalize_values, dreamer_critic))
+            s, args.updates, args.worlds, normalize_values, dreamer_critic,
+            overrides, recurrent))
         print(f"--- ours seed {s} ({args.config}) ---", flush=True)
         our_curves.append(run_ours(
             s, args.updates, args.worlds, normalize_values, dreamer_critic,
-            swapped_two_hot))
+            swapped_two_hot, overrides, recurrent))
 
     ref = np.asarray(ref_curves)   # [seeds, updates]
     ours = np.asarray(our_curves)
