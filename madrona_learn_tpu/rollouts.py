@@ -696,6 +696,17 @@ class RolloutManager:
         return metrics.copy(new_metrics)
 
     # -- layout helpers ------------------------------------------------------
+    #
+    # Multi-chip note (measured, scripts/comm_budget.py): the sim->train
+    # gathers below use STATIC indices that cross data shards, so GSPMD
+    # lowers them as mask+psum and the train store is born REPLICATED over
+    # ``data`` (~0.76 GB/device/update at the weak-scaled config-#5 shape —
+    # the dominant remaining collective cost; predicted 2-host efficiency
+    # is 92% with it). Pinning the outputs data-sharded was tried and
+    # measured WORSE (the psum still happens, plus a reshard). The real
+    # fix is a shard-balanced matchmaking layout where each policy draws
+    # equal train agents from every data shard so this gather becomes
+    # shard-local, like ops/reorder.py's chunk layout — scoped in TODO.md.
 
     def _sim_to_train(self, data, reorder_state):
         if self._cfg.pbt.complex_matchmaking:
@@ -946,17 +957,25 @@ class RolloutManager:
                 unnormalized_bootstrap)
             rollouts = rollouts.copy({"returns": returns})
 
-        # [C, T/C, P, B, ...] -> [P, C*B, T/C, ...]: each (chunk, agent) pair
-        # becomes one training sequence of length T/C.
+        # [C, T/C, P, B, ...] -> [P, B*C, T/C, ...]: each (chunk, agent) pair
+        # becomes one training sequence of length T/C. Rows are B-MAJOR
+        # (row = b*C + c; the reference uses c-major, reference:
+        # rollouts.py:788-804 — same sequence set, permuted rows): the
+        # train-agent axis is the one a data-sharded emission layout would
+        # shard, so b-major keeps every data shard's rows CONTIGUOUS and
+        # the reshape into the learn region's row axis merges a sharded
+        # major axis with a replicated minor one — groundwork for the
+        # shard-balanced matchmaking layout (TODO.md) that makes the
+        # sim->train emission collective-free.
         def reorder_seq_data(x):
-            t = x.transpose(2, 0, 3, 1, *range(4, x.ndim))
+            t = x.transpose(2, 3, 0, 1, *range(4, x.ndim))
             return t.reshape(t.shape[0], -1, *t.shape[3:])
 
         rollouts = jax.tree.map(reorder_seq_data, rollouts)
 
-        # [C, P, B, ...] -> [P, C*B, ...]
+        # [C, P, B, ...] -> [P, B*C, ...] (b-major, matching the rows above)
         def reorder_rnn_data(x):
-            t = x.transpose(1, 0, 2, *range(3, x.ndim))
+            t = x.transpose(1, 2, 0, *range(3, x.ndim))
             return t.reshape(t.shape[0], -1, *t.shape[3:])
 
         rnn_start_states = jax.tree.map(reorder_rnn_data, rnn_start_states)

@@ -439,6 +439,26 @@ def _update_impl(
             policy_states = jax.tree.map(
                 lambda full, new: full.at[0:num_train_policies].set(new),
                 train_state_mgr.policy_states, train_policy_states)
+            if cfg.mesh is not None and cfg.mesh.num_devices > 1:
+                # Pin the written-back population to the same policy-
+                # sharded layout it entered with, so the chained
+                # update(update(...)) loop keeps a sharding fixed point
+                # (an unconstrained output goes replicated, forcing a
+                # reshard or recompile on the next call). The train-slice
+                # write itself still materializes gathered inputs (its
+                # slice boundaries cross shards; ~38 MB/update at the
+                # config-#5 target mesh, scripts/comm_budget.py —
+                # acceptable; separating train/past storage would remove
+                # it at the cost of re-plumbing every population gather).
+                mesh = make_mesh(cfg.mesh)
+                pspec = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(POLICY_AXIS))
+                n_pol = cfg.mesh.policy
+                policy_states = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, pspec)
+                    if (isinstance(x, jax.Array) and x.ndim >= 1
+                        and x.shape[0] % n_pol == 0) else x,
+                    policy_states)
 
         train_state_mgr = train_state_mgr.replace(
             policy_states=policy_states,
