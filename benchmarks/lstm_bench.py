@@ -70,6 +70,43 @@ def main():
             rtol=1e-2, atol=2e-2)
     print("hardware correctness (fwd+bwd): OK")
 
+    # --- proj-fused kernel correctness on hardware ---
+    from madrona_learn_tpu.ops.pallas.lstm import (
+        lstm_sequence_proj, lstm_sequence_proj_reference)
+    sF = 128
+    x_in = jnp.asarray(rng.normal(size=(sT, sN, sF)), jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(sF, 4 * sH)) / np.sqrt(sF),
+                     jnp.float32)
+
+    def loss_pk(x, wi, wr, b, c0, h0):
+        return jnp.sum(
+            lstm_sequence_proj(x, keep, wi, wr, b, c0, h0) * probe)
+
+    def loss_pr(x, wi, wr, b, c0, h0):
+        return jnp.sum(
+            lstm_sequence_proj_reference(x, keep, wi, wr, b, c0, h0) * probe)
+
+    gpk = jax.jit(jax.grad(loss_pk, argnums=(0, 1, 2, 3, 4, 5)))(
+        x_in, wi, wr, b, c0, h0)
+    gpr = jax.jit(jax.grad(loss_pr, argnums=(0, 1, 2, 3, 4, 5)))(
+        x_in, wi, wr, b, c0, h0)
+    ypk = jax.jit(lambda: lstm_sequence_proj(x_in, keep, wi, wr, b, c0, h0))()
+    ypr = jax.jit(
+        lambda: lstm_sequence_proj_reference(x_in, keep, wi, wr, b, c0, h0))()
+    # Unlike lstm_sequence (whose x_proj is computed OUTSIDE both paths and
+    # cancels), the proj variant computes x @ Wi in Mosaic while the twin
+    # uses an XLA dot — different bf16-pass decompositions of the fp32
+    # matmul (see the grad-tolerance note above), so the forward check is
+    # in the same ~1e-3 precision class here. Exact-math equality lives in
+    # tests/test_pallas_kernels.py (interpret mode).
+    np.testing.assert_allclose(np.asarray(ypk), np.asarray(ypr),
+                               rtol=1e-2, atol=2e-2)
+    for g, r, name in zip(gpk, gpr, ("dx", "dwi", "dwr", "db", "dc0", "dh0")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), err_msg=name,
+            rtol=1e-2, atol=2e-2)
+    print("proj-fused hardware correctness (fwd+bwd): OK")
+
     # --- throughput: module sequence pass fwd+bwd, fused vs scan ---
     def bench_variant(use_pallas):
         lstm = LSTM(num_hidden_channels=H, num_layers=1, dtype=dtype,
@@ -114,13 +151,28 @@ def main():
         plstm._BLOCK_N_OVERRIDE = None
         return
 
+    import madrona_learn_tpu.ops.pallas.lstm as plstm
+    from madrona_learn_tpu.ops.pallas.lstm import lstm_proj_supported
+
     t_scan = bench_variant(False)
-    t_fused = bench_variant(True)
-    print(f"scan  fwd+bwd: {t_scan*1e3:8.3f} ms  "
+    # Hoisted projection + sequence kernel (proj fusion disabled).
+    plstm.lstm_proj_supported = lambda *a: False
+    try:
+        t_fused = bench_variant(True)
+    finally:
+        plstm.lstm_proj_supported = lstm_proj_supported
+    print(f"scan       fwd+bwd: {t_scan*1e3:8.3f} ms  "
           f"({toks/t_scan/1e6:7.2f}M tok/s)")
-    print(f"fused fwd+bwd: {t_fused*1e3:8.3f} ms  "
-          f"({toks/t_fused/1e6:7.2f}M tok/s)")
-    print(f"speedup: {t_scan/t_fused:.3f}x")
+    print(f"fused      fwd+bwd: {t_fused*1e3:8.3f} ms  "
+          f"({toks/t_fused/1e6:7.2f}M tok/s)  "
+          f"[{t_scan/t_fused:.3f}x scan]")
+    if lstm_proj_supported(F, H, dtype):
+        t_proj = bench_variant(True)
+        print(f"proj-fused fwd+bwd: {t_proj*1e3:8.3f} ms  "
+              f"({toks/t_proj/1e6:7.2f}M tok/s)  "
+              f"[{t_scan/t_proj:.3f}x scan, {t_fused/t_proj:.3f}x fused]")
+    else:
+        print(f"proj-fused: unsupported at F={F} H={H} dtype={args.dtype}")
 
 
 if __name__ == "__main__":

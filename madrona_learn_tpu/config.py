@@ -128,8 +128,9 @@ class MeshConfig:
     # model axis into the minibatch row split — recurrent-sequence TP
     # would place a collective inside every time step — while rollout
     # inference keeps the wide matmuls genuinely model-sharded under
-    # GSPMD). Auto-disabled only for population / minibatch sizes that do
-    # not divide over the mesh axes, with a warning naming the reason
+    # GSPMD). Non-dividing population / minibatch sizes are handled too
+    # (weight-0 row padding with psum(sum)/psum(count) reductions), so no
+    # configuration falls back anymore
     # (train.py:_manual_learn_fallback_reason).
     manual_learn: bool = True
 

@@ -205,9 +205,19 @@ class LSTM(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
     def _sequence_fused(self, start_hiddens, seq_ends, seq_x):
-        """Fused-kernel sequence pass (Pallas on TPU, jnp twin elsewhere)."""
+        """Fused-kernel sequence pass (Pallas on TPU, jnp twin elsewhere).
+
+        On TPU, layers whose input width divides the tiling additionally
+        fuse the INPUT PROJECTION into the kernel (lstm_sequence_proj):
+        the [T, N, 4H] x_proj tensor and its dxp cotangent never
+        materialize in HBM — the kernel streams the 4x-smaller x blocks,
+        computes xp = round(x @ Wi) in-kernel at the identical rounding
+        point, emits dx directly, and accumulates dWi in the fused fp32
+        epilogue next to dWr/db.
+        """
         from ..ops.pallas.lstm import (
-            lstm_sequence, lstm_sequence_reference, lstm_supported)
+            lstm_proj_supported, lstm_sequence, lstm_sequence_proj,
+            lstm_sequence_reference, lstm_supported)
         from .attention import _pallas_backend_ok
 
         c0, h0 = start_hiddens
@@ -221,15 +231,27 @@ class LSTM(nn.Module):
         outs = []
         layer_in = seq_x
         for layer, cell in enumerate(self.cells):
-            x_proj_seq = cell.project_input(layer_in)
             wr = cell.recurrent_kernel.astype(self.dtype)
             b = cell.bias.astype(self.dtype)
-            if fused_ok:
+            fuse_proj = (
+                fused_ok
+                and not self.is_initializing()
+                and lstm_proj_supported(
+                    layer_in.shape[-1], self.num_hidden_channels,
+                    self.dtype))
+            if fuse_proj:
+                wi = self.variables["params"][f"layer_{layer}"][
+                    "input_proj"]["kernel"].astype(self.dtype)
+                ys = lstm_sequence_proj(
+                    layer_in, keep, wi, wr, b, c0[:, layer], h0[:, layer])
+            elif fused_ok:
                 # The fused kernel has no unroll knob (the whole time loop
                 # already lives in one pallas_call).
+                x_proj_seq = cell.project_input(layer_in)
                 ys = lstm_sequence(
                     x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer])
             else:
+                x_proj_seq = cell.project_input(layer_in)
                 ys = lstm_sequence_reference(
                     x_proj_seq, keep, wr, b, c0[:, layer], h0[:, layer],
                     unroll=self.seq_unroll)

@@ -457,6 +457,63 @@ def test_lstm_kernel_backward_matches_reference():
             err_msg=name)
 
 
+def _lstm_proj_rand(seed, T, N, F, H, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    keep = jnp.asarray(rng.random((T, N)) > 0.2, dtype)
+    wi = jnp.asarray(rng.normal(size=(F, 4 * H)) / np.sqrt(F), dtype)
+    wr = jnp.asarray(rng.normal(size=(H, 4 * H)) / np.sqrt(H), dtype)
+    b = jnp.asarray(rng.normal(size=(4 * H,)), dtype)
+    c0 = jnp.asarray(rng.normal(size=(N, H)), dtype)
+    h0 = jnp.asarray(rng.normal(size=(N, H)), dtype)
+    return x, keep, wi, wr, b, c0, h0
+
+
+@pytest.mark.parametrize("T,N,F,H", [(5, 70, 128, 128), (3, 260, 256, 128),
+                                     (1, 9, 384, 128)])
+def test_lstm_proj_kernel_forward_matches_reference(T, N, F, H):
+    """Projection-fused kernel == hoisted projection + the sequence twin
+    (identical rounding point), including done clears and batch padding."""
+    from madrona_learn_tpu.ops.pallas.lstm import (
+        lstm_sequence_proj, lstm_sequence_proj_reference)
+
+    args = _lstm_proj_rand(30, T, N, F, H)
+    got = lstm_sequence_proj(*args, interpret=True)
+    want = lstm_sequence_proj_reference(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_proj_kernel_backward_matches_reference():
+    """Gradients through the projection-fused kernel — including the new
+    in-kernel dWi epilogue and the directly-emitted dx — match AD through
+    the twin."""
+    from madrona_learn_tpu.ops.pallas.lstm import (
+        lstm_sequence_proj, lstm_sequence_proj_reference)
+
+    T, N, F, H = 4, 70, 256, 128
+    args = _lstm_proj_rand(31, T, N, F, H)
+    probe = jnp.asarray(
+        np.random.default_rng(32).normal(size=(T, N, H)), jnp.float32)
+
+    def loss_kernel(x, wi, wr, b, c0, h0):
+        ys = lstm_sequence_proj(x, args[1], wi, wr, b, c0, h0, True)
+        return jnp.sum(ys * probe)
+
+    def loss_ref(x, wi, wr, b, c0, h0):
+        ys = lstm_sequence_proj_reference(x, args[1], wi, wr, b, c0, h0)
+        return jnp.sum(ys * probe)
+
+    diff = (args[0],) + args[2:]
+    got = jax.grad(loss_kernel, argnums=tuple(range(6)))(*diff)
+    want = jax.grad(loss_ref, argnums=tuple(range(6)))(*diff)
+    for g, w, name in zip(got, want,
+                          ("dx", "dwi", "dwr", "db", "dc0", "dh0")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4,
+            err_msg=name)
+
+
 def test_lstm_module_fused_matches_stepwise():
     """LSTM(use_pallas=True): the fused sequence path (jnp twin off-TPU)
     must reproduce the precise-gates step-by-step path with done clears —
@@ -529,6 +586,55 @@ def test_lstm_kernel_module_path_matches_twin():
 
     np.testing.assert_allclose(np.asarray(fused), np.asarray(twin),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_proj_kernel_module_path_matches_twin():
+    """Force the projection-fused kernel (interpret) through the module's
+    fused path: F=128 satisfies lstm_proj_supported, so the module skips
+    the hoisted Dense and reads the input_proj kernel via self.variables —
+    outputs AND input_proj gradients must match the plain path."""
+    from madrona_learn_tpu.models import LSTM
+    import madrona_learn_tpu.models.attention as mattn
+    import madrona_learn_tpu.ops.pallas.lstm as plstm
+
+    dtype = jnp.float32
+    N, T, H, F = 10, 6, 128, 128
+    lstm = LSTM(num_hidden_channels=H, num_layers=2, dtype=dtype,
+                use_pallas=True)
+
+    rng = np.random.default_rng(33)
+    xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
+    dones = jnp.asarray(rng.random((T, N, 1)) < 0.3)
+    init_state = lstm.init_recurrent_state(N)
+    params = lstm.init(jax.random.PRNGKey(1), init_state, xs[0], False)
+    probe = jnp.asarray(rng.normal(size=(T, N, 2 * H)), dtype)
+
+    def loss(p):
+        ys = lstm.apply(p, init_state, dones, xs, False, method="sequence")
+        return jnp.sum(ys * probe)
+
+    want, want_grads = jax.value_and_grad(loss)(params)
+
+    orig_proj = plstm.lstm_sequence_proj
+    orig_ok = mattn._pallas_backend_ok
+    plstm.lstm_sequence_proj = lambda *a, **kw: orig_proj(*a, interpret=True)
+    mattn._pallas_backend_ok = lambda: True
+    try:
+        got, got_grads = jax.value_and_grad(loss)(params)
+    finally:
+        plstm.lstm_sequence_proj = orig_proj
+        mattn._pallas_backend_ok = orig_ok
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    flat_w = jax.tree_util.tree_leaves_with_path(want_grads)
+    flat_g = jax.tree_util.tree_leaves_with_path(got_grads)
+    assert len(flat_w) == len(flat_g) and len(flat_w) > 0
+    for (pw, w), (pg, g) in zip(flat_w, flat_g):
+        assert pw == pg
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4,
+            err_msg=jax.tree_util.keystr(pw))
+        assert np.any(np.asarray(w) != 0), jax.tree_util.keystr(pw)
 
 
 def test_layer_norm_module_param_structure_invariant():
