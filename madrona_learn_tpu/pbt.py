@@ -21,6 +21,7 @@ collective permutes/all-gathers over ICI — no host round trip, matching the
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -59,6 +60,15 @@ class PBTMatchmakeConfig:
     complex_matchmaking: bool
     custom_policy_ids: List[int]
 
+    # >1: shard-major layout — the sim batch is D contiguous blocks, each
+    # with its own proportional self|cross|past|static sub-slices, so every
+    # policy draws equal train agents from every data shard and the
+    # sim->train emission gather never crosses a shard boundary (the
+    # collect-phase analog of ops/reorder.py's shard-local chunk layout).
+    # The batch sizes / match counts above stay GLOBAL; per-shard consumers
+    # use ``shard_view()``. 1 reproduces the reference's flat layout.
+    num_data_shards: int = 1
+
     @staticmethod
     def setup(
         num_current_policies: int,
@@ -71,6 +81,7 @@ class PBTMatchmakeConfig:
         past_play_portion: float,
         static_play_portion: float,
         custom_policy_ids: List[int] = (),
+        num_data_shards: int = 1,
     ):
         total = (self_play_portion + cross_play_portion + past_play_portion +
                  static_play_portion)
@@ -82,18 +93,31 @@ class PBTMatchmakeConfig:
         static_bs = int(sim_batch_size * static_play_portion)
         assert self_bs + cross_bs + past_bs + static_bs == sim_batch_size
 
+        # Shard-major layout: every play-mode slice must split evenly into
+        # D per-shard sub-slices, and each sub-slice must satisfy the same
+        # structural constraints the D=1 layout does (checked below on the
+        # per-shard sizes; D=1 degenerates to the global checks).
+        D = num_data_shards
+        assert D >= 1
+        assert self_bs % D == 0 and cross_bs % D == 0, (
+            "play-mode batch sizes must divide num_data_shards")
+        assert past_bs % D == 0 and static_bs % D == 0, (
+            "play-mode batch sizes must divide num_data_shards")
+
         agents_per_world = num_teams * team_size
-        assert cross_bs % agents_per_world == 0
-        assert past_bs % agents_per_world == 0
-        assert static_bs % agents_per_world == 0
+        assert (cross_bs // D) % agents_per_world == 0
+        assert (past_bs // D) % agents_per_world == 0
+        assert (static_bs // D) % agents_per_world == 0
 
         num_cross = cross_bs // agents_per_world
         num_past = past_bs // agents_per_world
         num_static = static_bs // agents_per_world
         num_total = sim_batch_size // agents_per_world
 
-        assert num_cross % num_current_policies == 0
-        assert num_past % num_current_policies == 0
+        assert (num_cross // D) % num_current_policies == 0
+        assert (num_past // D) % num_current_policies == 0
+        if self_bs > 0:
+            assert (self_bs // D) % num_current_policies == 0
 
         return PBTMatchmakeConfig(
             num_current_policies=num_current_policies,
@@ -115,6 +139,57 @@ class PBTMatchmakeConfig:
             num_total_matches=num_total,
             complex_matchmaking=self_play_portion != 1.0,
             custom_policy_ids=tuple(custom_policy_ids),
+            num_data_shards=num_data_shards,
+        )
+
+    @staticmethod
+    def shardable(
+        num_current_policies: int,
+        num_teams: int,
+        team_size: int,
+        sim_batch_size: int,
+        self_play_portion: float,
+        cross_play_portion: float,
+        past_play_portion: float,
+        static_play_portion: float,
+        num_data_shards: int,
+    ) -> bool:
+        """Whether the shard-major layout's divisibility holds at D shards."""
+        D = num_data_shards
+        if D <= 1 or sim_batch_size % D != 0:
+            return D == 1
+        apw = num_teams * team_size
+        sizes = [int(sim_batch_size * p) for p in (
+            self_play_portion, cross_play_portion, past_play_portion,
+            static_play_portion)]
+        if any(s % D for s in sizes):
+            return False
+        self_l, cross_l, past_l, static_l = (s // D for s in sizes)
+        if cross_l % apw or past_l % apw or static_l % apw:
+            return False
+        if self_l % num_current_policies:
+            return False
+        return ((cross_l // apw) % num_current_policies == 0
+                and (past_l // apw) % num_current_policies == 0)
+
+    def shard_view(self) -> "PBTMatchmakeConfig":
+        """The per-shard sub-config of a shard-major layout: one contiguous
+        ``sim_batch_size / D`` block, num_data_shards=1. All per-shard
+        structure (slice bounds, match counts) comes from this view."""
+        D = self.num_data_shards
+        if D == 1:
+            return self
+        return dataclasses.replace(
+            self,
+            self_play_batch_size=self.self_play_batch_size // D,
+            cross_play_batch_size=self.cross_play_batch_size // D,
+            past_play_batch_size=self.past_play_batch_size // D,
+            static_play_batch_size=self.static_play_batch_size // D,
+            num_cross_play_matches=self.num_cross_play_matches // D,
+            num_past_play_matches=self.num_past_play_matches // D,
+            num_static_play_matches=self.num_static_play_matches // D,
+            num_total_matches=self.num_total_matches // D,
+            num_data_shards=1,
         )
 
 
@@ -133,7 +208,25 @@ def pbt_init_matchmaking(
     Team 0 of every cross/past match is a train policy (block-assigned);
     other teams get random opponents (cross: a different train policy; past:
     a past policy).
+
+    With ``num_data_shards > 1`` the whole layout repeats per shard block
+    (independent opponent draws per shard): the batch is D contiguous
+    blocks of ``self|cross|past|static`` sub-slices, so every data shard
+    carries every play mode and every policy's train agents.
     """
+    if mm_cfg.num_data_shards > 1:
+        D = mm_cfg.num_data_shards
+        shard_cfg = mm_cfg.shard_view()
+        keys = random.split(assign_rnd, D)
+        if static_play_assignments is None:
+            per_shard = jax.vmap(
+                lambda k: pbt_init_matchmaking(k, shard_cfg, None))(keys)
+        else:
+            static_sh = static_play_assignments.reshape(D, -1)
+            per_shard = jax.vmap(
+                lambda k, s: pbt_init_matchmaking(k, shard_cfg, s))(
+                    keys, static_sh)
+        return per_shard.reshape(-1)
 
     def block_assign(batch_size):
         return jnp.repeat(
@@ -183,7 +276,27 @@ def _sample_cross_opponents(rnd, team0_policy, mm_cfg, shape):
 
 def pbt_update_matchmaking(assignments, policy_states, dones, episode_results,
                            assign_rnd, mm_cfg: PBTMatchmakeConfig):
-    """Per-step reroll: opponents of finished episodes get fresh matchups."""
+    """Per-step reroll: opponents of finished episodes get fresh matchups.
+
+    Shard-major layouts (``num_data_shards > 1``) reroll each shard block
+    independently with its own key — slice offsets stay shard-local.
+    """
+    if mm_cfg.num_data_shards > 1:
+        D = mm_cfg.num_data_shards
+        shard_cfg = mm_cfg.shard_view()
+        keys = random.split(assign_rnd, D + 1)
+        new_rnd = keys[0]
+        a_sh = assignments.reshape(D, -1)
+        d_sh = dones.reshape(D, dones.shape[0] // D, *dones.shape[1:])
+
+        def reroll_one(a, d, k):
+            new_a, _ = pbt_update_matchmaking(
+                a, policy_states, d, episode_results, k, shard_cfg)
+            return new_a
+
+        new_a = jax.vmap(reroll_one)(a_sh, d_sh, keys[1:])
+        return new_a.reshape(assignments.shape), new_rnd
+
     cross_start = mm_cfg.self_play_batch_size
     cross_end = cross_start + mm_cfg.cross_play_batch_size
     past_end = cross_end + mm_cfg.past_play_batch_size

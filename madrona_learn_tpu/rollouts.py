@@ -118,6 +118,35 @@ class RolloutConfig:
         data_shards: int = 1,
         mesh_cfg: Optional[MeshConfig] = None,
     ) -> "RolloutConfig":
+        # Shard-major matchmaking layout when the sim batch is data-sharded
+        # and the play-mode slices divide: each shard block carries its own
+        # self|cross|past|static sub-slices, so the sim->train emission
+        # gather stays inside each shard (no replicated train store — see
+        # RolloutManager._sim_to_train). Falls back to the flat layout
+        # (gathers cross shards, GSPMD replicates the emission) when the
+        # divisibility does not hold.
+        mm_shards = 1
+        if (data_shards > 1 and sim_batch_size % data_shards == 0
+                and self_play_portion != 1.0):  # complex matchmaking only
+            if PBTMatchmakeConfig.shardable(
+                    num_current_policies, num_teams, team_size,
+                    sim_batch_size, self_play_portion, cross_play_portion,
+                    past_play_portion, static_play_portion, data_shards):
+                mm_shards = data_shards
+            else:
+                # Advisory only (not warnings.warn: the layout is an auto
+                # optimization the user never requested, and tiny test
+                # batches routinely fail the divisibility): the flat
+                # layout stays correct, just pays the replicated emission
+                # — scripts/comm_budget.py quantifies the cost.
+                import logging
+                logging.getLogger(__name__).info(
+                    "matchmaking layout cannot shard over data=%d (a "
+                    "play-mode slice does not divide); the sim->train "
+                    "emission will replicate the train store over the "
+                    "data axis — size the batch/portions to divide for "
+                    "collective-free emission", data_shards)
+
         pbt = PBTMatchmakeConfig.setup(
             num_current_policies=num_current_policies,
             num_past_policies=num_past_policies,
@@ -129,6 +158,7 @@ class RolloutConfig:
             past_play_portion=past_play_portion,
             static_play_portion=static_play_portion,
             custom_policy_ids=custom_policy_ids,
+            num_data_shards=mm_shards,
         )
 
         if pbt.complex_matchmaking:
@@ -320,7 +350,28 @@ class RolloutState(flax.struct.PyTreeNode):
         static_play_portion: float,
         policy_assignments: jax.Array,
     ) -> "RolloutState":
-        """Switch play-mode portions (e.g. train <-> all-pairs Elo eval)."""
+        """Switch play-mode portions (e.g. train <-> all-pairs Elo eval).
+
+        The shard-major layout follows the new portions: it sticks at the
+        rollout config's data-shard count when the new play-mode slices
+        divide, and falls back to the flat layout otherwise (the caller's
+        ``policy_assignments`` must match — both sides of the train/eval
+        switch construct them through ``pbt_init_matchmaking`` or
+        world-aligned static tables, which respect the active layout).
+        """
+        mm_shards = 1
+        if (self.cfg.data_shards > 1 and self_play_portion != 1.0
+                and PBTMatchmakeConfig.shardable(
+                    self.cfg.pbt.num_current_policies,
+                    self.cfg.pbt.num_teams,
+                    self.cfg.pbt.team_size,
+                    self.cfg.sim_batch_size,
+                    self_play_portion,
+                    cross_play_portion,
+                    past_play_portion,
+                    static_play_portion,
+                    self.cfg.data_shards)):
+            mm_shards = self.cfg.data_shards
         new_pbt = PBTMatchmakeConfig.setup(
             self.cfg.pbt.num_current_policies,
             self.cfg.pbt.num_past_policies,
@@ -332,6 +383,7 @@ class RolloutState(flax.struct.PyTreeNode):
             past_play_portion,
             static_play_portion,
             self.cfg.pbt.custom_policy_ids,
+            num_data_shards=mm_shards,
         )
         new_cfg = dataclasses.replace(self.cfg, pbt=new_pbt)
         return self.replace(
@@ -638,7 +690,8 @@ class RolloutManager:
 
         self._sim_to_train_idxs = jax.jit(
             partial(_compute_sim_to_train_indices, self._cfg))()
-        assert (self._sim_to_train_idxs.shape[1] ==
+        assert (self._sim_to_train_idxs.shape[1]
+                * self._cfg.pbt.num_data_shards ==
                 self._num_train_agents_per_policy)
 
         self._use_advantages = train_cfg.compute_advantages
@@ -697,20 +750,36 @@ class RolloutManager:
 
     # -- layout helpers ------------------------------------------------------
     #
-    # Multi-chip note (measured, scripts/comm_budget.py): the sim->train
-    # gathers below use STATIC indices that cross data shards, so GSPMD
-    # lowers them as mask+psum and the train store is born REPLICATED over
-    # ``data`` (~0.76 GB/device/update at the weak-scaled config-#5 shape —
-    # the dominant remaining collective cost; predicted 2-host efficiency
-    # is 92% with it). Pinning the outputs data-sharded was tried and
-    # measured WORSE (the psum still happens, plus a reshard). The real
-    # fix is a shard-balanced matchmaking layout where each policy draws
-    # equal train agents from every data shard so this gather becomes
-    # shard-local, like ops/reorder.py's chunk layout — scoped in TODO.md.
+    # Multi-chip note (measured, scripts/comm_budget.py): with the flat
+    # matchmaking layout (pbt.num_data_shards == 1) the sim->train gathers
+    # below use STATIC indices that cross data shards, so GSPMD lowers them
+    # as mask+psum and the train store is born REPLICATED over ``data``
+    # (~0.76 GB/device/update at the weak-scaled config-#5 shape). Pinning
+    # the outputs data-sharded was tried and measured WORSE (the psum still
+    # happens, plus a reshard). The fix is the shard-major matchmaking
+    # layout (pbt.num_data_shards > 1, auto-enabled in RolloutConfig.setup
+    # when the play-mode slices divide): each policy draws equal train
+    # agents from every data shard, the indices are shard-LOCAL, and the
+    # gather runs vmapped over the explicit shard axis — zero collectives,
+    # like ops/reorder.py's chunk layout. The resulting train rows are a
+    # fixed permutation of the flat layout's (shard-major instead of
+    # slice-major), which no consumer depends on.
+
+    def _train_gather(self, x):
+        """sim order [B, ...] -> train order [P, A, ...] (team-0 agents)."""
+        D = self._cfg.pbt.num_data_shards
+        if D == 1:
+            return x[self._sim_to_train_idxs]
+        xb = x.reshape(D, -1, *x.shape[1:])
+        out = jax.vmap(lambda blk: blk[self._sim_to_train_idxs])(xb)
+        out = jnp.swapaxes(out, 0, 1)  # [P, D, A/D, ...]
+        return out.reshape(
+            self._num_train_policies,
+            self._num_train_agents_per_policy, *x.shape[1:])
 
     def _sim_to_train(self, data, reorder_state):
         if self._cfg.pbt.complex_matchmaking:
-            to_train = lambda x: x[self._sim_to_train_idxs]
+            to_train = self._train_gather
         else:
             to_train = lambda x: x.reshape(
                 self._num_train_policies, -1, *x.shape[1:])
@@ -721,7 +790,7 @@ class RolloutManager:
             return data  # policy order == train order on the simple path
 
         def to_train(x):
-            return reorder_state.to_sim(x)[self._sim_to_train_idxs]
+            return self._train_gather(reorder_state.to_sim(x))
 
         return jax.tree.map(to_train, data)
 
@@ -1019,13 +1088,27 @@ def _compute_num_train_agents_per_policy(rollout_cfg: RolloutConfig):
 
 
 def _compute_sim_to_train_indices(rollout_cfg: RolloutConfig):
-    """[num_train_policies, num_train_agents_per_policy] gather indices
-    selecting each policy's training agents out of sim order."""
-    pbt = rollout_cfg.pbt
-    global_indices = jnp.arange(rollout_cfg.sim_batch_size)
+    """Gather indices selecting each policy's training agents out of sim
+    order.
+
+    Flat layout (``pbt.num_data_shards == 1``): GLOBAL indices
+    ``[num_train_policies, num_train_agents_per_policy]``.
+
+    Shard-major layout (``num_data_shards > 1``): SHARD-LOCAL indices
+    ``[num_train_policies, num_train_agents_per_policy / D]`` into one
+    contiguous shard block of ``sim_batch_size / D`` rows. The layout
+    repeats identically per block (only the random opponent draws differ,
+    and those never change which rows are team 0), so one local index set
+    serves every shard; RolloutManager applies it as a vmapped gather over
+    the explicit shard axis, which GSPMD partitions with zero collectives
+    (same construction as ops/reorder.py's shard-local chunk layout).
+    """
+    pbt = rollout_cfg.pbt.shard_view()
+    batch_local = rollout_cfg.sim_batch_size // rollout_cfg.pbt.num_data_shards
+    local_indices = jnp.arange(batch_local)
 
     def match_indices(start, stop):
-        return global_indices[start:stop].reshape(
+        return local_indices[start:stop].reshape(
             pbt.num_current_policies, -1, pbt.num_teams, pbt.team_size)
 
     self_end = pbt.self_play_batch_size

@@ -238,8 +238,20 @@ def verify_rollout_data(sim_cfg, rollout_cfg, init_obs, init_assignments,
 
 
 def check_assignments(rollout_cfg, assignments):
-    """Matchmaking invariants (reference: tests/test_rollouts.py:493-551)."""
+    """Matchmaking invariants (reference: tests/test_rollouts.py:493-551).
+
+    Shard-major layouts (pbt.num_data_shards > 1) repeat the whole
+    self|cross|past|static structure per shard block — check each block
+    against the per-shard view."""
     pbt = rollout_cfg.pbt
+    if pbt.num_data_shards > 1:
+        import dataclasses
+        shard_cfg = dataclasses.replace(
+            rollout_cfg, pbt=pbt.shard_view(),
+            sim_batch_size=rollout_cfg.sim_batch_size // pbt.num_data_shards)
+        for blk in assignments.reshape(pbt.num_data_shards, -1):
+            check_assignments(shard_cfg, blk)
+        return
     B = assignments.shape[0]
     a = assignments.reshape(-1, pbt.num_teams, pbt.team_size)
 
@@ -335,3 +347,93 @@ def test_fake_rollout_exact_shard_local_reorder(data_shards):
     check_assignments(rollout_cfg, init_assignments)
     verify_rollout_data(
         sim_cfg, rollout_cfg, init_obs, init_assignments, inf, step)
+
+
+@pytest.mark.parametrize("D", [1, 2, 4])
+def test_shard_major_matchmaking_layout(D):
+    """Shard-major matchmaking invariants (TODO round-5 #1): the whole
+    self|cross|past structure repeats per shard block, every policy draws
+    equal team-0 train agents from every shard through SHARD-LOCAL
+    sim->train indices, opponents stay valid per block, and per-step
+    rerolls never move team-0 rows."""
+    from madrona_learn_tpu.pbt import (
+        pbt_init_matchmaking, pbt_update_matchmaking)
+    from madrona_learn_tpu.rollouts import (
+        RolloutConfig, _compute_num_train_agents_per_policy,
+        _compute_sim_to_train_indices)
+
+    cfg = RolloutConfig.setup(
+        num_current_policies=4, num_past_policies=2, num_teams=2,
+        team_size=1, sim_batch_size=128, actions_cfg={"fake": None},
+        self_play_portion=0.25, cross_play_portion=0.5,
+        past_play_portion=0.25, static_play_portion=0.0, data_shards=D)
+    pbt = cfg.pbt
+    assert pbt.num_data_shards == D
+
+    a = np.asarray(pbt_init_matchmaking(random.PRNGKey(0), pbt, None))
+    check_assignments(cfg, a)
+
+    B_local = 128 // D
+    A = _compute_num_train_agents_per_policy(cfg)
+    idx = np.asarray(_compute_sim_to_train_indices(cfg))
+    assert idx.shape == (4, A // D)
+    assert idx.min() >= 0 and idx.max() < B_local  # shard-LOCAL index space
+
+    sv = pbt.shard_view()
+    for s in range(D):
+        blk = a[s * B_local:(s + 1) * B_local]
+        for p in range(4):
+            # Each policy owns exactly A/D team-0 train rows per shard.
+            assert (blk[idx[p]] == p).all()
+        ce = sv.self_play_batch_size
+        cross = blk[ce:ce + sv.cross_play_batch_size].reshape(-1, 2, 1)
+        assert ((cross[:, 1, 0] < 4)
+                & (cross[:, 1, 0] != cross[:, 0, 0])).all()
+        pe = ce + sv.cross_play_batch_size
+        past = blk[pe:pe + sv.past_play_batch_size].reshape(-1, 2, 1)
+        assert ((past[:, 1, 0] >= 4) & (past[:, 1, 0] < 6)).all()
+
+    # Reroll every opponent: structure and team-0 rows must be preserved.
+    a2, _ = pbt_update_matchmaking(
+        jnp.asarray(a), None, jnp.ones((128, 1), bool), None,
+        random.PRNGKey(1), pbt)
+    a2 = np.asarray(a2)
+    check_assignments(cfg, a2)
+    for s in range(D):
+        blk2 = a2[s * B_local:(s + 1) * B_local]
+        for p in range(4):
+            assert (blk2[idx[p]] == p).all()
+
+
+def test_shard_major_train_gather_matches_flat_selection():
+    """The vmapped shard-local train gather selects exactly the same
+    (policy, agent-row) multiset as a direct global gather over the
+    shard-major assignments — per policy, per shard — so training sees
+    each policy's true team-0 data regardless of layout."""
+    from madrona_learn_tpu.rollouts import (
+        RolloutConfig, RolloutManager, _compute_sim_to_train_indices)
+
+    D = 4
+    cfg = RolloutConfig.setup(
+        num_current_policies=4, num_past_policies=2, num_teams=2,
+        team_size=1, sim_batch_size=128, actions_cfg={"fake": None},
+        self_play_portion=0.25, cross_play_portion=0.5,
+        past_play_portion=0.25, static_play_portion=0.0, data_shards=D)
+
+    mgr = object.__new__(RolloutManager)
+    mgr._cfg = cfg
+    mgr._num_train_policies = 4
+    mgr._num_train_agents_per_policy = (
+        np.asarray(_compute_sim_to_train_indices(cfg)).shape[1] * D)
+    mgr._sim_to_train_idxs = _compute_sim_to_train_indices(cfg)
+
+    x = jnp.arange(128, dtype=jnp.int32)
+    got = np.asarray(mgr._train_gather(x))  # [P, A]
+    assert got.shape == (4, mgr._num_train_agents_per_policy)
+
+    B_local = 128 // D
+    idx = np.asarray(mgr._sim_to_train_idxs)
+    want = np.stack([
+        np.concatenate([s * B_local + idx[p] for s in range(D)])
+        for p in range(4)])
+    np.testing.assert_array_equal(got, want)
