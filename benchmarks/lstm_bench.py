@@ -108,9 +108,9 @@ def main():
     print("proj-fused hardware correctness (fwd+bwd): OK")
 
     # --- throughput: module sequence pass fwd+bwd, fused vs scan ---
-    def bench_variant(use_pallas):
+    def bench_variant(use_pallas, fuse_proj=False):
         lstm = LSTM(num_hidden_channels=H, num_layers=1, dtype=dtype,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, fuse_input_proj=fuse_proj)
         xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
         dones = jnp.asarray(rng.random((T, N, 1)) < 0.05)
         state = lstm.init_recurrent_state(N)
@@ -151,23 +151,18 @@ def main():
         plstm._BLOCK_N_OVERRIDE = None
         return
 
-    import madrona_learn_tpu.ops.pallas.lstm as plstm
     from madrona_learn_tpu.ops.pallas.lstm import lstm_proj_supported
 
     t_scan = bench_variant(False)
-    # Hoisted projection + sequence kernel (proj fusion disabled).
-    plstm.lstm_proj_supported = lambda *a: False
-    try:
-        t_fused = bench_variant(True)
-    finally:
-        plstm.lstm_proj_supported = lstm_proj_supported
+    # Hoisted projection + sequence kernel (the default routing).
+    t_fused = bench_variant(True)
     print(f"scan       fwd+bwd: {t_scan*1e3:8.3f} ms  "
           f"({toks/t_scan/1e6:7.2f}M tok/s)")
     print(f"fused      fwd+bwd: {t_fused*1e3:8.3f} ms  "
           f"({toks/t_fused/1e6:7.2f}M tok/s)  "
           f"[{t_scan/t_fused:.3f}x scan]")
     if lstm_proj_supported(F, H, dtype):
-        t_proj = bench_variant(True)
+        t_proj = bench_variant(True, fuse_proj=True)
         print(f"proj-fused fwd+bwd: {t_proj*1e3:8.3f} ms  "
               f"({toks/t_proj/1e6:7.2f}M tok/s)  "
               f"[{t_scan/t_proj:.3f}x scan, {t_fused/t_proj:.3f}x fused]")

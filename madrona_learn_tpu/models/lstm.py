@@ -121,6 +121,17 @@ class LSTM(nn.Module):
     # kernel's fp32 gate math so both forwards stay consistent. Off-TPU the
     # sequence pass uses the kernel's jnp twin (same math).
     use_pallas: bool = False
+    # Also fuse the input projection into the sequence kernel
+    # (ops/pallas/lstm.py:lstm_sequence_proj; bit-identical math). OFF by
+    # default: the kernel wins standalone (1.074x the hoisted-proj kernel
+    # at the headline shape) but is an end-to-end REGRESSION in the full
+    # update step (14.27M -> 13.25M env-steps/s, same-process A/B) — the
+    # hoisted whole-sequence [T*N, F] @ [F, 4H] projection is a fusion
+    # root XLA merges with the preceding trunk layers, which the opaque
+    # in-kernel projection forecloses, same pathology as the fused policy
+    # step (docs/kernels.md). Opt in for opaque inputs or very wide F
+    # where the [T, N, 4H] x_proj HBM round-trip dominates.
+    fuse_input_proj: bool = False
 
     @nn.nowrap
     def init_recurrent_state(self, N):
@@ -207,13 +218,14 @@ class LSTM(nn.Module):
     def _sequence_fused(self, start_hiddens, seq_ends, seq_x):
         """Fused-kernel sequence pass (Pallas on TPU, jnp twin elsewhere).
 
-        On TPU, layers whose input width divides the tiling additionally
-        fuse the INPUT PROJECTION into the kernel (lstm_sequence_proj):
-        the [T, N, 4H] x_proj tensor and its dxp cotangent never
-        materialize in HBM — the kernel streams the 4x-smaller x blocks,
-        computes xp = round(x @ Wi) in-kernel at the identical rounding
-        point, emits dx directly, and accumulates dWi in the fused fp32
-        epilogue next to dWr/db.
+        With ``fuse_input_proj=True``, layers whose input width divides
+        the tiling additionally fuse the INPUT PROJECTION into the kernel
+        (lstm_sequence_proj): the [T, N, 4H] x_proj tensor and its dxp
+        cotangent never materialize in HBM — the kernel streams the
+        4x-smaller x blocks, computes xp = round(x @ Wi) in-kernel at the
+        identical rounding point, emits dx directly, and accumulates dWi
+        in the fused fp32 epilogue next to dWr/db. Off by default: e2e
+        slower at the headline shape (see the field comment).
         """
         from ..ops.pallas.lstm import (
             lstm_proj_supported, lstm_sequence, lstm_sequence_proj,
@@ -235,6 +247,7 @@ class LSTM(nn.Module):
             b = cell.bias.astype(self.dtype)
             fuse_proj = (
                 fused_ok
+                and self.fuse_input_proj
                 and not self.is_initializing()
                 and lstm_proj_supported(
                     layer_in.shape[-1], self.num_hidden_channels,

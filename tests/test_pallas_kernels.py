@@ -600,7 +600,7 @@ def test_lstm_proj_kernel_module_path_matches_twin():
     dtype = jnp.float32
     N, T, H, F = 10, 6, 128, 128
     lstm = LSTM(num_hidden_channels=H, num_layers=2, dtype=dtype,
-                use_pallas=True)
+                use_pallas=True, fuse_input_proj=True)
 
     rng = np.random.default_rng(33)
     xs = jnp.asarray(rng.normal(size=(T, N, F)), dtype)
