@@ -116,6 +116,26 @@ def bench_kernels(batch, seq, heads, head_dim, steps, dtype):
     timed("fused", lambda q, k, v: mha(q, k, v, valid_len=valid))
     timed("flash", lambda q, k, v: mha_flash(q, k, v, valid_len=valid))
 
+    # fwd+bwd: flash now has a flash-structured backward (two Mosaic
+    # kernels, no [B, H, S, S] materialization) — compare the full
+    # training-path cost against autodiff through the XLA twin.
+    def grad_of(fn):
+        g = jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32)),
+            argnums=(0, 1, 2))
+
+        def both(q, k, v):
+            dq, dk, dv = g(q, k, v)
+            return (jnp.sum(dq.astype(jnp.float32))
+                    + jnp.sum(dk.astype(jnp.float32))
+                    + jnp.sum(dv.astype(jnp.float32)))
+        return both
+
+    timed("xla+bwd",
+          grad_of(lambda q, k, v: mha_reference(q, k, v, valid_len=valid)))
+    timed("flash+bwd",
+          grad_of(lambda q, k, v: mha_flash(q, k, v, valid_len=valid)))
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -53,18 +53,27 @@ class SelfAttention(nn.Module):
         # bit-for-bit — mixing kernel (f32 softmax) and XLA (compute-dtype)
         # attention across the two passes would bias every ratio at epoch 0.
         #
-        # Auto-route by entity count: past 256 the single-pass kernel's
-        # [S, S] score tile blows scoped VMEM, and the flash variant
-        # (ops/pallas/attention.py:mha_flash) measures SLOWER than XLA
-        # there (v5e, benchmarks/attention_bench.py --kernels: S=512 flash
-        # 1.41 ms vs XLA 0.93; S=1024 1.61 vs 1.18 — constant-token
-        # comparison is bandwidth-bound and XLA's fusion wins), so large
-        # sets take the XLA path.
-        use_pallas = (self.use_pallas and _pallas_backend_ok()
-                      and padded_len <= 256)
+        # Auto-route by entity count: up to 256 the single-pass kernel
+        # (whole [S, S] score tile in VMEM) wins; past 256 that tile blows
+        # scoped VMEM and the flash variant takes over. With the
+        # flash-structured backward (round 4) flash no longer loses to XLA
+        # at large S — constant-token sweep on v5e, two process runs
+        # (benchmarks/attention_bench.py --kernels): forward parity
+        # within noise (S=512 1.141/1.125 vs XLA 1.220/1.119 ms; S=1024
+        # 2.126 vs 2.119), consistent fwd+bwd win (S=512 1.769/1.692 vs
+        # 1.786/1.776; S=1024 3.523 vs 4.029 — the backward never
+        # materializes the [B, H, S, S] score tensor XLA's autodiff
+        # stashes). Round 3, with the twin-recompute backward, routed
+        # large sets to XLA; the training path dominated by the backward
+        # is what changed the verdict.
+        use_pallas = self.use_pallas and _pallas_backend_ok()
 
         if use_pallas:
-            from ..ops.pallas.attention import mha as pallas_mha
+            if padded_len <= 256:
+                from ..ops.pallas.attention import mha as pallas_mha
+            else:
+                from ..ops.pallas.attention import (
+                    mha_flash as pallas_mha)
 
             def attention_fn(q, k, v, bias=None, mask=None, **kwargs):
                 # Padding is static, so the kernel's static valid_len mask
@@ -129,7 +138,9 @@ class EntitySelfAttentionNet(nn.Module):
     # rollout pass runs steps_per_update times per collected step while the
     # update touches each step num_epochs times, so the forward win
     # dominates at typical epoch counts. Entity sets past 256 auto-route
-    # to XLA (see SelfAttention); disable manually for epoch-heavy configs.
+    # to the flash kernel, whose flash-structured backward beats XLA
+    # autodiff there (see SelfAttention); disable manually for epoch-heavy
+    # small-set configs.
     use_pallas: bool = True
 
     @nn.compact

@@ -13,9 +13,13 @@ reference's Triton kernel instead relies on its caller's pad-to-16 and has
 no mask operand, reference: models.py:74-89). ``valid_len`` is static — the
 pad amount is a shape property, so no dynamic masking machinery is needed.
 
-Backward uses JAX autodiff through the same fused computation; for these
-entity counts recompute-in-bwd is bandwidth-optimal (the reference keeps a
-hand-written bwd kernel because its seqs are long).
+``mha``'s backward uses JAX autodiff through the jnp twin; for the routed
+entity counts recompute-in-bwd is bandwidth-optimal. ``mha_flash`` has a
+flash-structured custom backward (the hand-written bwd the reference keeps
+for long sequences, reference: pallas/attention.py:322-537): the forward
+saves the per-row logsumexp, and two Mosaic kernels accumulate dK/dV over
+query blocks and dQ over KV blocks without ever materializing the
+[B, H, S, S] score tensor.
 
 ``mha_reference`` is the jnp twin used for tests and fallback.
 """
@@ -93,11 +97,10 @@ def _mha_bwd_rule(valid_len, interpret, residuals, g):
     # rounding (XLA fusion order) differs from the kernel's (MXU
     # accumulation order) by O(eps * S) — negligible at entity scale
     # (S <= 256 on the routed path) and covered by the fwd-vs-twin
-    # tolerances in tests/test_pallas_kernels.py. ``mha_flash`` reuses
-    # this backward, materializing the full [B, H, S, S] score tensor; a
-    # flash-structured backward is only warranted if mha_flash ever
-    # enters production routing (it currently loses to XLA at the S where
-    # it would matter — BASELINE.md "flash-attention variant").
+    # tolerances in tests/test_pallas_kernels.py. At this scale the
+    # recompute is bandwidth-optimal; ``mha_flash`` has its own
+    # flash-structured backward (``_mha_flash_bwd_rule``) that never
+    # materializes the [B, H, S, S] score tensor.
     q, k, v = residuals
     _, vjp = jax.vjp(
         lambda q_, k_, v_: mha_reference(q_, k_, v_, valid_len=valid_len),
@@ -155,7 +158,7 @@ def _mha_impl(q, k, v, valid_len, interpret):
 FLASH_BLOCK_S = 128
 
 
-def _mha_flash_kernel(scale, valid_len, q_ref, k_ref, v_ref, o_ref,
+def _mha_flash_kernel(scale, valid_len, q_ref, k_ref, v_ref, o_ref, lse_ref,
                       acc_scr, m_scr, l_scr):
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
@@ -196,9 +199,13 @@ def _mha_flash_kernel(scale, valid_len, q_ref, k_ref, v_ref, o_ref,
     def _():
         o_ref[...] = (
             acc_scr[...] / l_scr[...][..., None]).astype(o_ref.dtype)
+        # Per-query-row logsumexp (natural log) — the flash backward's
+        # softmax residual: p = exp(s - lse) rebuilds each probability
+        # tile without renormalization.
+        lse_ref[...] = m_scr[...] + jnp.log(l_scr[...])
 
 
-def _mha_flash_impl(q, k, v, valid_len, interpret):
+def _mha_flash_impl(q, k, v, valid_len, interpret, return_lse=False):
     B, S, H, D = q.shape
     scale = 1.0 / (D ** 0.5)
     if valid_len is None:
@@ -224,7 +231,7 @@ def _mha_flash_impl(q, k, v, valid_len, interpret):
     bs = FLASH_BLOCK_S
 
     grid = (n // BLOCK_B, s_pad // bs, s_pad // bs)  # kv innermost
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_mha_flash_kernel, scale, valid_len),
         grid=grid,
         in_specs=[
@@ -232,9 +239,14 @@ def _mha_flash_impl(q, k, v, valid_len, interpret):
             pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, ki, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (BLOCK_B, bs, D), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, s_pad, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((BLOCK_B, bs), lambda b, qi, ki: (b, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, s_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((n, s_pad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((BLOCK_B, bs, D), jnp.float32),
             pltpu.VMEM((BLOCK_B, bs), jnp.float32),
@@ -244,7 +256,92 @@ def _mha_flash_impl(q, k, v, valid_len, interpret):
     )(qb, kb, vb)
 
     out = out[:B * H, :S].reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:B * H, :S].reshape(B, H, S)
     return out
+
+
+def _mha_flash_bwd_dkdv_kernel(scale, valid_len, q_ref, do_ref, k_ref,
+                               v_ref, lse_ref, delta_ref, dk_ref, dv_ref):
+    qi = pl.program_id(2)
+    ki = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[...].astype(f32)      # [BB, BQ, D]
+    k = k_ref[...].astype(f32)      # [BB, BK, D]
+    v = v_ref[...].astype(f32)      # [BB, BK, D]
+    do = do_ref[...].astype(f32)    # [BB, BQ, D]
+    lse = lse_ref[...]              # [BB, BQ] f32
+    delta = delta_ref[...]          # [BB, BQ] f32
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ) * scale  # [BB, BQ, BK]
+    key_idx = ki * FLASH_BLOCK_S + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 2)
+    s = jnp.where(key_idx < valid_len, s, _NEG_INF)
+    p = jnp.exp(s - lse[..., None])  # [BB, BQ, BK]; masked keys -> 0
+
+    # dV += P^T @ dO  (contract the query axis)
+    dv_ref[...] += jax.lax.dot_general(
+        p, do,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)
+    # dP = dO @ V^T; dS = P * (dP - delta); dK += dS^T @ Q * scale
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32)  # [BB, BQ, BK]
+    ds = p * (dp - delta[..., None]) * scale
+    dk_ref[...] += jax.lax.dot_general(
+        ds, q,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)
+
+
+def _mha_flash_bwd_dq_kernel(scale, valid_len, q_ref, do_ref, k_ref,
+                             v_ref, lse_ref, delta_ref, dq_ref):
+    ki = pl.program_id(2)
+    f32 = jnp.float32
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    q = q_ref[...].astype(f32)
+    k = k_ref[...].astype(f32)
+    v = v_ref[...].astype(f32)
+    do = do_ref[...].astype(f32)
+    lse = lse_ref[...]
+    delta = delta_ref[...]
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ) * scale
+    key_idx = ki * FLASH_BLOCK_S + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 2)
+    s = jnp.where(key_idx < valid_len, s, _NEG_INF)
+    p = jnp.exp(s - lse[..., None])
+
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32)
+    ds = p * (dp - delta[..., None]) * scale
+    # dQ += dS @ K
+    dq_ref[...] += jax.lax.dot_general(
+        ds, k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -253,10 +350,88 @@ def _mha_flash(q, k, v, valid_len, interpret):
 
 
 def _mha_flash_fwd_rule(q, k, v, valid_len, interpret):
-    return _mha_flash_impl(q, k, v, valid_len, interpret), (q, k, v)
+    out, lse = _mha_flash_impl(q, k, v, valid_len, interpret,
+                               return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
-_mha_flash.defvjp(_mha_flash_fwd_rule, _mha_bwd_rule)
+def _mha_flash_bwd_rule(valid_len, interpret, residuals, g):
+    """Flash-structured backward: never materializes [B, H, S, S].
+
+    FlashAttention-2 scheme over the same KV-chunked grid as the forward
+    (the structure of the reference's Triton bwd, reference:
+    pallas/attention.py:322-537): ``delta = rowsum(dO * O)`` precomputed,
+    each probability tile rebuilt as ``exp(s - lse)`` from the forward's
+    saved logsumexp, then two kernels — dK/dV accumulate over query
+    blocks (q innermost, f32 output block revisited in VMEM) and dQ
+    accumulates over KV blocks (kv innermost). Zero-padded dO rows make
+    padded/garbage query rows contribute exactly zero (their ``delta`` is
+    also zero), so the pad regions need no extra masking.
+    """
+    q, k, v, out, lse = residuals
+    B, S, H, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    vl = S if valid_len is None else valid_len
+
+    # delta_i = sum_d dO_id * O_id  (f32, per query row)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # [B, S, H]
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+
+    qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+    lse_b = lse.reshape(B * H, S)
+    delta_b = delta.transpose(0, 2, 1).reshape(B * H, S)
+
+    pad_b = (-(B * H)) % BLOCK_B
+    pad_s = (-S) % FLASH_BLOCK_S
+    if pad_b or pad_s:
+        widths3 = [(0, pad_b), (0, pad_s), (0, 0)]
+        widths2 = [(0, pad_b), (0, pad_s)]
+        qb = jnp.pad(qb, widths3)
+        kb = jnp.pad(kb, widths3)
+        vb = jnp.pad(vb, widths3)
+        gb = jnp.pad(gb, widths3)
+        lse_b = jnp.pad(lse_b, widths2)
+        delta_b = jnp.pad(delta_b, widths2)
+    n = B * H + pad_b
+    s_pad = S + pad_s
+    bs = FLASH_BLOCK_S
+
+    qspec = pl.BlockSpec((BLOCK_B, bs, D), lambda b, ki, qi: (b, qi, 0))
+    kspec = pl.BlockSpec((BLOCK_B, bs, D), lambda b, ki, qi: (b, ki, 0))
+    rowspec = pl.BlockSpec((BLOCK_B, bs), lambda b, ki, qi: (b, qi))
+    dk, dv = pl.pallas_call(
+        functools.partial(_mha_flash_bwd_dkdv_kernel, scale, vl),
+        grid=(n // BLOCK_B, s_pad // bs, s_pad // bs),  # q innermost
+        in_specs=[qspec, qspec, kspec, kspec, rowspec, rowspec],
+        out_specs=[kspec, kspec],
+        out_shape=[jax.ShapeDtypeStruct((n, s_pad, D), jnp.float32)] * 2,
+        interpret=interpret,
+    )(qb, gb, kb, vb, lse_b, delta_b)
+
+    qspec2 = pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, qi, 0))
+    kspec2 = pl.BlockSpec((BLOCK_B, bs, D), lambda b, qi, ki: (b, ki, 0))
+    rowspec2 = pl.BlockSpec((BLOCK_B, bs), lambda b, qi, ki: (b, qi))
+    dq = pl.pallas_call(
+        functools.partial(_mha_flash_bwd_dq_kernel, scale, vl),
+        grid=(n // BLOCK_B, s_pad // bs, s_pad // bs),  # kv innermost
+        in_specs=[qspec2, qspec2, kspec2, kspec2, rowspec2, rowspec2],
+        out_specs=qspec2,
+        out_shape=jax.ShapeDtypeStruct((n, s_pad, D), jnp.float32),
+        interpret=interpret,
+    )(qb, gb, kb, vb, lse_b, delta_b)
+
+    def from_bh(x, dtype):
+        return (x[:B * H, :S].reshape(B, H, S, D)
+                .transpose(0, 2, 1, 3).astype(dtype))
+
+    return (from_bh(dq, q.dtype), from_bh(dk, k.dtype),
+            from_bh(dv, v.dtype))
+
+
+_mha_flash.defvjp(_mha_flash_fwd_rule, _mha_flash_bwd_rule)
 
 
 @functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))

@@ -155,18 +155,22 @@ def test_mha_flash_matches_reference(shape, valid):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_mha_flash_backward_matches_reference():
-    """Tolerance note (ADVICE r2): the attention custom-VJP backward
-    recomputes through the jnp twin while the primal may have run the
-    Mosaic kernel, so on hardware the returned gradient corresponds to a
-    slightly different (MXU-rounded vs XLA-rounded) forward. At entity
-    scale (<=256 keys) the divergence is far below these tolerances; if
-    mha_flash ever enters production routing at large S, it needs a
-    flash-structured backward (ops/pallas/attention.py docstring)."""
+@pytest.mark.parametrize("shape,valid", [
+    ((2, 256, 2, 32), 250),     # mask inside the last chunk
+    ((2, 256, 2, 32), None),    # multi-chunk KV, no mask
+    ((1, 300, 4, 64), 300),     # S not a chunk multiple (padded keys)
+    ((3, 130, 2, 32), 97),      # q/k pad + mask across chunk boundary
+])
+def test_mha_flash_backward_matches_reference(shape, valid):
+    """mha_flash has a flash-structured backward (two Mosaic kernels, dK/dV
+    over query blocks + dQ over KV blocks, probabilities rebuilt from the
+    forward's saved logsumexp — never materializing [B, H, S, S]). Checked
+    against the jnp twin's autodiff, including key-mask and chunk-padding
+    boundaries where padded rows must contribute exactly zero."""
     from madrona_learn_tpu.ops.pallas.attention import mha_flash
 
     rng = np.random.default_rng(9)
-    shape, valid = (2, 256, 2, 32), 250
+    vl = valid if valid is not None else shape[1]
     q = jnp.asarray(rng.normal(size=shape), jnp.float32)
     k = jnp.asarray(rng.normal(size=shape), jnp.float32)
     v = jnp.asarray(rng.normal(size=shape), jnp.float32)
@@ -175,7 +179,7 @@ def test_mha_flash_backward_matches_reference():
     def loss(fn):
         def f(q, k, v):
             out = fn(q, k, v)
-            return jnp.sum(out[:, :valid] * probe[:, :valid])
+            return jnp.sum(out[:, :vl] * probe[:, :vl])
         return f
 
     got = jax.grad(loss(lambda q, k, v: mha_flash(
@@ -186,6 +190,30 @@ def test_mha_flash_backward_matches_reference():
     for g, w, name in zip(got, want, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+        assert np.all(np.isfinite(np.asarray(g))), name
+
+
+def test_mha_flash_backward_is_flash_structured():
+    """The grad trace must contain exactly three pallas_calls (fwd,
+    dK/dV, dQ) and no materialized [.., S, S] score tensor outside them —
+    i.e. the backward is genuinely flash-structured, not the jnp-twin
+    recompute the single-pass ``mha`` uses."""
+    from madrona_learn_tpu.ops.pallas.attention import mha_flash
+
+    B, S, H, D = 2, 256, 2, 32
+    q = jnp.zeros((B, S, H, D), jnp.float32)
+    f = jax.grad(
+        lambda q, k, v: jnp.sum(mha_flash(q, k, v, valid_len=250,
+                                          interpret=True)),
+        argnums=(0, 1, 2))
+    jaxpr = jax.make_jaxpr(f)(q, q, q)
+
+    s = str(jaxpr)
+    assert s.count("pallas_call") == 3, s.count("pallas_call")
+    # No [.., S, S] f32 score tensor at the jaxpr top level (the kernels'
+    # inner tiles don't print as top-level eqn outputs).
+    assert f"({B},{H},{S},{S})" not in s.replace(" ", "")
+    assert f"({B*H},{S},{S})" not in s.replace(" ", "")
 
 
 def test_entity_net_pallas_path_matches_xla():
@@ -230,6 +258,59 @@ def test_entity_net_pallas_path_matches_xla():
 
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_self_attention_large_set_routes_flash():
+    """Entity sets past 256 route to mha_flash (round 4: its
+    flash-structured backward beats XLA autodiff there), and both the
+    forward and the parameter gradients must match the flax path."""
+    from madrona_learn_tpu.models.attention import SelfAttention
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(4, 300, 24)), jnp.float32)
+
+    kwargs = dict(num_heads=2, qkv_features=32, out_features=24,
+                  dtype=jnp.float32)
+    net_xla = SelfAttention(**kwargs, use_pallas=False)
+    net_pl = SelfAttention(**kwargs, use_pallas=True)
+
+    import madrona_learn_tpu.models.attention as mattn
+    import madrona_learn_tpu.ops.pallas.attention as pattn
+    orig_flash = pattn.mha_flash
+    orig_mha = pattn.mha
+    orig_ok = mattn._pallas_backend_ok
+    flash_calls = []
+
+    def spy_flash(*a, **kw):
+        flash_calls.append(True)
+        return orig_flash(*a, **{**kw, "interpret": True})
+
+    pattn.mha_flash = spy_flash
+    pattn.mha = lambda *a, **kw: orig_mha(*a, **{**kw, "interpret": True})
+    mattn._pallas_backend_ok = lambda: True
+    try:
+        params = net_xla.init(jax.random.PRNGKey(0), x)
+        out_xla = net_xla.apply(params, x)
+        out_pl = net_pl.apply(params, x)
+        assert flash_calls, "large set did not route through mha_flash"
+
+        def loss(net):
+            return lambda p: jnp.sum(net.apply(p, x) ** 2)
+
+        g_xla = jax.grad(loss(net_xla))(params)
+        g_pl = jax.grad(loss(net_pl))(params)
+    finally:
+        pattn.mha_flash = orig_flash
+        pattn.mha = orig_mha
+        mattn._pallas_backend_ok = orig_ok
+
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=2e-5, atol=2e-5)
+    flat_pl, _ = jax.tree.flatten(g_pl)
+    flat_xla, _ = jax.tree.flatten(g_xla)
+    for a, b in zip(flat_pl, flat_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
 
 
 @pytest.mark.parametrize("shape", [(8, 64, 32, 4, 128), (5, 128, 64, 3, 96)])
