@@ -39,6 +39,10 @@ Configs (VERDICT r2 item 5: deepen parity to where the semantics bite):
 - ``importance``: trajectory importance sampling (sample sequences by
   |adv| + value error with unbiasedness weights; reference:
   ppo.py:407-435).
+- ``hlgauss``: the HL-Gauss distributional critic (erf-CDF soft-label
+  cross-entropy over symmetric linear bins; reference:
+  models.py:253-307) — exercises the Gaussian-smoothed two-sided CDF
+  target construction and the logit-space value decode on both sides.
 - ``dreamer_swapped``: controlled experiment isolating the cause of the
   ``dreamer`` gap — runs OUR stack with the reference's swapped two-hot
   weights (reference dists.py:193-200 puts more mass on the *farther*
@@ -114,15 +118,15 @@ def _patch_swapped_two_hot():
 
 def run_ours(seed, num_updates, num_worlds, normalize_values=False,
              dreamer_critic=False, swapped_two_hot=False, overrides=None,
-             recurrent=True):
+             recurrent=True, hlgauss_critic=False):
     if swapped_two_hot:
         _patch_swapped_two_hot()
     import madrona_learn_tpu as mlt
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
     from madrona_learn_tpu.models import (
         ActorCritic, BackboneEncoder, BackboneShared, DenseLayerCritic,
-        DreamerV3Critic, DenseLayerDiscreteActor, DictActor, LSTM, MLP,
-        RecurrentBackboneEncoder)
+        DreamerV3Critic, DenseLayerDiscreteActor, DictActor, HLGaussCritic,
+        LSTM, MLP, RecurrentBackboneEncoder)
 
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
     sim_fns = make_toy_env(ToyEnvConfig(
@@ -144,6 +148,8 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
         actor=DictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
         critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
+                else HLGaussCritic.create(dtype=jnp.float32)
+                if hlgauss_critic
                 else DenseLayerCritic(dtype=jnp.float32)))
     policy = mlt.Policy(
         actor_critic=ac,
@@ -159,6 +165,7 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
             num_epochs=2, minibatch_size=num_worlds // 2, clip_coef=0.2,
             value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
         dreamer_v3_critic=dreamer_critic,
+        hlgauss_critic=hlgauss_critic,
         normalize_values=normalize_values,
         **(overrides or {}))
 
@@ -174,7 +181,8 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
 
 
 def run_reference(seed, num_updates, num_worlds, normalize_values=False,
-                  dreamer_critic=False, overrides=None, recurrent=True):
+                  dreamer_critic=False, overrides=None, recurrent=True,
+                  hlgauss_critic=False):
     sys.path.insert(0, REF_SRC)
     import flax
     import flax.linen as nn
@@ -182,7 +190,8 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
     from flax.core import FrozenDict
     from jax import random
     from madrona_learn.models import (
-        MLP, DenseLayerCritic, DenseLayerDiscreteActor, DreamerV3Critic)
+        MLP, DenseLayerCritic, DenseLayerDiscreteActor, DreamerV3Critic,
+        HLGaussCritic)
     from madrona_learn.rnn import LSTM
 
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
@@ -243,6 +252,8 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
         actor=RefDictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
         critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
+                else HLGaussCritic.create(dtype=jnp.float32)
+                if hlgauss_critic
                 else DenseLayerCritic(dtype=jnp.float32)))
     policy = ml.Policy(
         actor_critic=ac,
@@ -259,6 +270,7 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
             value_loss_coef=0.5, entropy_coef={"move": 0.01},
             max_grad_norm=0.5),
         dreamer_v3_critic=dreamer_critic,
+        hlgauss_critic=hlgauss_critic,
         normalize_values=normalize_values,
         **(overrides or {}))
 
@@ -277,7 +289,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config",
                         choices=("base", "valuenorm", "dreamer",
-                                 "dreamer_swapped", "filter", "importance"),
+                                 "dreamer_swapped", "filter", "importance",
+                                 "hlgauss"),
                         default="base")
     parser.add_argument("--updates", type=int, default=30)
     parser.add_argument("--worlds", type=int, default=256)
@@ -288,6 +301,7 @@ def main():
     normalize_values = args.config == "valuenorm"
     dreamer_critic = args.config in ("dreamer", "dreamer_swapped")
     swapped_two_hot = args.config == "dreamer_swapped"
+    hlgauss_critic = args.config == "hlgauss"
     overrides = None
     recurrent = True
     if args.config == "filter":
@@ -303,11 +317,11 @@ def main():
         print(f"--- reference seed {s} ({args.config}) ---", flush=True)
         ref_curves.append(run_reference(
             s, args.updates, args.worlds, normalize_values, dreamer_critic,
-            overrides, recurrent))
+            overrides, recurrent, hlgauss_critic))
         print(f"--- ours seed {s} ({args.config}) ---", flush=True)
         our_curves.append(run_ours(
             s, args.updates, args.worlds, normalize_values, dreamer_critic,
-            swapped_two_hot, overrides, recurrent))
+            swapped_two_hot, overrides, recurrent, hlgauss_critic))
 
     ref = np.asarray(ref_curves)   # [seeds, updates]
     ours = np.asarray(our_curves)
