@@ -12,6 +12,7 @@ vs_baseline compares against the per-chip share of the driver's 1M
 env-steps/s @ v5e-16 target (62_500 env-steps/s per chip).
 """
 
+import atexit
 import json
 import os
 import sys
@@ -28,6 +29,74 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# --- stderr scrub -----------------------------------------------------------
+# The driver records (rc, tail-of-combined-output, last JSON line). XLA's
+# native code logs multi-KB ERROR lines straight to fd 2 (e.g. the
+# cpu_aot_loader machine-feature mismatch spew when the persistent
+# compilation cache was populated on a different host CPU), drowning the
+# JSON record in the captured tail. When run as a script, fd 2 is routed
+# to a log file and forwarded — minus known-noise lines — to the real
+# stderr just BEFORE each JSON record is emitted, so the record is always
+# the clean last line of the combined stream. Real diagnostics (tracebacks,
+# retry notes) still reach the driver; the unfiltered log survives at
+# MADRONA_LEARN_TPU_BENCH_STDERR_LOG for debugging.
+
+_NOISE_MARKERS = (
+    b"cpu_aot_loader",
+    b"Loading XLA:CPU AOT result",
+    b"could lead to execution errors such as SIGILL",
+)
+_scrub_state = None  # (real_stderr_fd, log_path, forwarded_offset)
+
+
+def _install_stderr_scrub():
+    global _scrub_state
+    if _scrub_state is not None:
+        return
+    real_fd = os.dup(2)
+    log_path = os.environ.get(
+        "MADRONA_LEARN_TPU_BENCH_STDERR_LOG",
+        "/tmp/madrona_bench_stderr.log")
+    log_fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    os.dup2(log_fd, 2)
+    os.close(log_fd)
+    # Python-level stderr follows the redirect (line-buffered).
+    sys.stderr = os.fdopen(os.dup(2), "w", buffering=1)
+    _scrub_state = [real_fd, log_path, 0]
+    atexit.register(_forward_scrubbed_stderr)
+
+
+def _forward_scrubbed_stderr():
+    """Forward new fd-2 content to the real stderr, dropping noise lines."""
+    if _scrub_state is None:
+        return
+    real_fd, log_path, offset = _scrub_state
+    try:
+        sys.stderr.flush()
+    except Exception:  # noqa: BLE001 — best-effort
+        pass
+    try:
+        with open(log_path, "rb") as f:
+            f.seek(offset)
+            data = f.read()
+    except OSError:
+        return
+    _scrub_state[2] = offset + len(data)
+    kept = [ln for ln in data.splitlines(keepends=True)
+            if not any(m in ln for m in _NOISE_MARKERS)]
+    if kept:
+        try:
+            os.write(real_fd, b"".join(kept))
+        except OSError:
+            pass
+
+
+def _emit_record(obj):
+    """Print the JSON record as the guaranteed-last line of the stream."""
+    _forward_scrubbed_stderr()
+    print(json.dumps(obj), flush=True)
 
 
 NUM_WORLDS = 16384  # v5e sweet spot (scripts/bench_world_sweep.py; moved
@@ -213,7 +282,7 @@ def run_bench():
         rates.append(NUM_WORLDS * STEPS_PER_UPDATE * TIMED_UPDATES / elapsed)
     steps_per_s = max(rates)
 
-    print(json.dumps({
+    _emit_record({
         "metric": "ppo_env_steps_per_s_per_chip",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
@@ -223,7 +292,7 @@ def run_bench():
         # single-trial.
         "agg": "best_of_3x%d" % TIMED_UPDATES,
         "backend": backend,
-    }))
+    })
 
 
 class _WallLimit(BaseException):
@@ -283,15 +352,16 @@ def main():
                     pass
                 time.sleep(float(
                     os.environ.get("MADRONA_LEARN_TPU_BENCH_RETRY_WAIT", 30)))
-    print(json.dumps({
+    _emit_record({
         "metric": "ppo_env_steps_per_s_per_chip",
         "value": None,
         "unit": "env-steps/s",
         "vs_baseline": None,
         "error": f"{type(last_err).__name__}: {last_err}",
-    }))
+    })
     return 0
 
 
 if __name__ == "__main__":
+    _install_stderr_scrub()
     sys.exit(main())

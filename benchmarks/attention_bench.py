@@ -164,7 +164,10 @@ def main():
               "numbers not comparable)")
 
     if args.kernels:
-        for seq in (64, 128, 256, 512):
+        # S=1024 included so the routing flip's quoted crossover evidence
+        # (flash fwd+bwd 3.523 vs XLA 4.029 ms — BASELINE.md round 4) is
+        # reproducible from this committed harness.
+        for seq in (64, 128, 256, 512, 1024):
             bench_kernels(max(args.batch // (seq // 16), 64), seq, 4, 32,
                           args.steps, dtype)
         return

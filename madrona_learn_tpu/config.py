@@ -129,9 +129,16 @@ class MeshConfig:
     # would place a collective inside every time step — while rollout
     # inference keeps the wide matmuls genuinely model-sharded under
     # GSPMD). Non-dividing population / minibatch sizes are handled too
-    # (weight-0 row padding with psum(sum)/psum(count) reductions), so no
-    # configuration falls back anymore
-    # (train.py:_manual_learn_fallback_reason).
+    # (weight-0 row padding with psum(sum)/psum(count) reductions), so
+    # every configuration is served; manual_learn=False is the explicit
+    # escape hatch back to the GSPMD learn path (kernels run as jnp
+    # twins there). MEMORY note for the TP fold: inside the learn region
+    # params are gathered over ``model`` (each device holds a full
+    # parameter + optimizer-state copy of its policy shard during the
+    # learn phase), so model>1 does NOT reduce learn-phase param memory;
+    # for models too wide for that, set manual_learn=False to get
+    # memory-level GSPMD tensor parallelism. See docs/scaling.md
+    # "The TP fold".
     manual_learn: bool = True
 
     @property

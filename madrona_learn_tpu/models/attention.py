@@ -65,7 +65,11 @@ class SelfAttention(nn.Module):
         # materializes the [B, H, S, S] score tensor XLA's autodiff
         # stashes). Round 3, with the twin-recompute backward, routed
         # large sets to XLA; the training path dominated by the backward
-        # is what changed the verdict.
+        # is what changed the verdict. The flash route is benchmarked up
+        # to S=1024; entity sets beyond that run the same kernel in an
+        # unmeasured regime (grid work grows as S^2 per batch block) —
+        # re-run benchmarks/attention_bench.py --kernels with a wider
+        # sweep before relying on it at S >> 1024.
         use_pallas = self.use_pallas and _pallas_backend_ok()
 
         if use_pallas:

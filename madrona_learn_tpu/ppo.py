@@ -125,7 +125,8 @@ class PPO(AlgoBase):
         })
 
 
-def resolve_stratify(cfg: TrainConfig, num_train_seqs_per_policy: int) -> int:
+def resolve_stratify(cfg: TrainConfig, num_train_seqs_per_policy: int,
+                     store_bytes_estimate: Optional[int] = None) -> int:
     """Effective uniform-mode minibatch stratification block count.
 
     1 = the legacy single global shuffle (bit-identical PRNG stream to the
@@ -158,13 +159,27 @@ def resolve_stratify(cfg: TrainConfig, num_train_seqs_per_policy: int) -> int:
             or cfg.algo.minibatch_size % stratify != 0):
         import warnings
 
+        # On a pod the consequence is concrete: the manual region's entry
+        # replicates the full train store over ``data`` instead of taking
+        # a 1/data slice per device — state the bytes, not just the fact.
+        cost = ""
+        if (store_bytes_estimate is not None and cfg.mesh is not None
+                and cfg.mesh.data > 1):
+            d = cfg.mesh.data
+            full_mb = store_bytes_estimate / 1e6
+            cost = (
+                f" At this shape that means ~{full_mb:.1f} MB of rollout "
+                f"store per device (obs-dominated estimate) instead of the "
+                f"~{full_mb / d:.1f} MB 1/{d} slice stratification would "
+                f"keep — {(d - 1) / d * full_mb:.1f} MB extra per device "
+                f"plus the all-gather to materialize it.")
         warnings.warn(
             f"minibatch stratification disabled: stratify={stratify} must "
             f"divide both the per-policy training sequences "
             f"({num_train_seqs_per_policy}) and minibatch_size "
             f"({cfg.algo.minibatch_size}); falling back to the single "
             f"global shuffle (the manual learn region, if active, will "
-            f"replicate rollout data over the data axis).")
+            f"replicate rollout data over the data axis).{cost}")
         return 1
     return stratify
 

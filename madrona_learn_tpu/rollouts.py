@@ -528,17 +528,26 @@ def rollout_loop(
             prng_key, step_key = random.split(prng_key)
             step_keys = random.split(step_key, cfg.num_policy_chunks)
 
-            chunk_policy_states = reorder_policy_states(
-                policy_assignments, reorder_state)
-            chunk_rnn_states, policy_obs = reorder_state.to_policy(
-                (rnn_states, sim_obs))
+            # Sub-scopes map XProf device self-time onto the complex-
+            # matchmaking cost centers (scripts/xprof_summary.py --hlo
+            # joins them through HLO op_name metadata); XLA may fuse
+            # across scope boundaries, attributing a merged fusion to one
+            # of them — still the only in-context attribution available.
+            with profile("Gather Chunk Weights"):
+                chunk_policy_states = reorder_policy_states(
+                    policy_assignments, reorder_state)
+            with profile("Reorder To Policy"):
+                chunk_rnn_states, policy_obs = reorder_state.to_policy(
+                    (rnn_states, sim_obs))
 
-            preprocessed_obs = obs_preprocess_fn(
-                chunk_policy_states, policy_obs)
+            with profile("Obs Preprocess"):
+                preprocessed_obs = obs_preprocess_fn(
+                    chunk_policy_states, policy_obs)
 
-            policy_out, chunk_rnn_states = policy_fn(
-                chunk_policy_states, step_keys, chunk_rnn_states,
-                preprocessed_obs)
+            with profile("Policy Apply"):
+                policy_out, chunk_rnn_states = policy_fn(
+                    chunk_policy_states, step_keys, chunk_rnn_states,
+                    preprocessed_obs)
 
             cb_state, inference_emit = post_inference_cb(
                 step_idx, policy_obs, preprocessed_obs, policy_out,
@@ -546,7 +555,8 @@ def rollout_loop(
 
             # RNN state lives in (stable) sim order across steps; policy-chunk
             # order shifts whenever assignments change.
-            rnn_states = reorder_state.to_sim(chunk_rnn_states)
+            with profile("Reorder To Sim"):
+                rnn_states = reorder_state.to_sim(chunk_rnn_states)
 
         with profile("Rollout Step"):
             step_input = frozen_dict.freeze({
@@ -562,8 +572,9 @@ def rollout_loop(
                     policy_states.reward_hyper_params)
             step_input = step_input.copy({"pbt": FrozenDict(pbt_inputs)})
 
-            step_output = frozen_dict.freeze(
-                rollout_state.step_fn(step_input))
+            with profile("Sim Step"):
+                step_output = frozen_dict.freeze(
+                    rollout_state.step_fn(step_input))
 
             sim_state = step_output["state"]
             dones = step_output["dones"].astype(jnp.bool_)
@@ -584,11 +595,14 @@ def rollout_loop(
             episode_results = step_output.get("pbt", FrozenDict()).get(
                 "episode_results", None)
 
-            policy_assignments, prng_key = pbt_update_matchmaking(
-                policy_assignments, policy_states, dones, episode_results,
-                prng_key, cfg.pbt)
+            with profile("Matchmaking"):
+                policy_assignments, prng_key = pbt_update_matchmaking(
+                    policy_assignments, policy_states, dones,
+                    episode_results, prng_key, cfg.pbt)
 
-            reorder_state = _compute_reorder_state(policy_assignments, cfg)
+            with profile("Compute Reorder State"):
+                reorder_state = _compute_reorder_state(
+                    policy_assignments, cfg)
 
             rollout_state = rollout_state.update(
                 prng_key=prng_key,
@@ -699,6 +713,19 @@ class RolloutManager:
         self._gae_lambda = train_cfg.gae_lambda
         self._use_pallas_gae = train_cfg.use_pallas_gae
         self._mesh_cfg = train_cfg.mesh
+
+        # Approximate train-store footprint (obs-dominated; actions/values/
+        # rewards/dones add a few more scalars per row). Used by
+        # ppo.resolve_stratify's fallback warning to state the concrete
+        # replication cost when stratification cannot engage on a
+        # multi-chip mesh.
+        sim_batch = self._cfg.sim_batch_size
+        obs_bytes_per_agent = sum(
+            math.prod(leaf.shape[1:]) * leaf.dtype.itemsize
+            for leaf in jax.tree.leaves(init_rollout_state.cur_obs))
+        self.approx_train_store_bytes = (
+            self._num_train_policies * self._num_train_agents_per_policy
+            * train_cfg.steps_per_update * obs_bytes_per_agent)
 
     def _gae_shardable(self, store_shape):
         """Whether the [C, T/C, P, B, 1] advantage inputs divide the mesh

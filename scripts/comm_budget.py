@@ -366,6 +366,9 @@ def main():
                         "per-device batch (default: round-3 config-#4 PBT "
                         "measurement 248 ms at 32k agents -> ~124 ms at "
                         "the 16k-agent per-chip share)")
+    p.add_argument("--alt-single-chip-ms", type=float, default=None,
+                   help="second measured compute time for the sensitivity "
+                        "table (e.g. a fresh config-#4 measurement)")
     p.add_argument("--out", type=str, default="artifacts/COMM_BUDGET.json")
     p.add_argument("--hlo-out", type=str, default=None,
                    help="also dump the optimized HLO text here")
@@ -440,6 +443,40 @@ def main():
     t_compute = args.single_chip_ms
     efficiency = t_compute / (t_compute + t_ici_ms)
 
+    # ---- sensitivity of the prediction (VERDICT r4 item 3) -----------------
+    # One derived number defends the >=85% target; show how far each
+    # assumption can degrade before the conclusion flips. Exposed comm
+    # time under overlap fraction o: t_ici * (1 - o); efficiency =
+    # t_c / (t_c + exposed). Break-even bandwidth for 85%:
+    # (1 - o) * bytes / (t_c * (1/0.85 - 1)).
+    compute_times = [t_compute]
+    if args.alt_single_chip_ms:
+        compute_times.append(args.alt_single_chip_ms)
+    sensitivity = []
+    for tc in compute_times:
+        for bw in (50.0, 100.0, 200.0):
+            for overlap in (0.0, 0.5):
+                exposed_ms = total_target / (bw * 1e9) * 1e3 * (1 - overlap)
+                eff = tc / (tc + exposed_ms)
+                sensitivity.append({
+                    "single_chip_ms": tc, "ici_gbps": bw,
+                    "overlap": overlap,
+                    "exposed_comm_ms": round(exposed_ms, 4),
+                    "efficiency": round(eff, 4),
+                    "meets_85pct": bool(eff >= 0.85),
+                })
+    headroom = 1.0 / 0.85 - 1.0  # comm budget as a fraction of compute
+    break_even = [
+        {
+            "single_chip_ms": tc, "overlap": overlap,
+            # Minimum ICI bandwidth (GB/s) at which efficiency == 0.85.
+            "break_even_ici_gbps": round(
+                (1 - overlap) * total_target / (tc * 1e-3 * headroom) / 1e9,
+                3),
+        }
+        for tc in compute_times for overlap in (0.0, 0.5)
+    ]
+
     result = {
         "compiled_mesh": {"data": args.data, "policy": args.policy},
         "target_mesh": {"data": tD, "policy": tP,
@@ -477,6 +514,8 @@ def main():
             "predicted_scaling_efficiency": round(efficiency, 4),
             "meets_85pct_target": bool(efficiency >= 0.85),
         },
+        "sensitivity": sensitivity,
+        "break_even_bandwidth_for_85pct": break_even,
         "top_sites": sorted(
             rows, key=lambda r: -r["traffic_per_device_bytes"])[:20],
     }
@@ -493,6 +532,19 @@ def main():
         "predicted_scaling_efficiency": round(efficiency, 4),
         "out": args.out,
     }))
+    print("\nsensitivity (efficiency @ ici_gbps x overlap, "
+          "per compute time):", file=sys.stderr)
+    for tc in compute_times:
+        rows_tc = [s for s in sensitivity if s["single_chip_ms"] == tc]
+        cells = "  ".join(
+            f"{s['ici_gbps']:.0f}GB/s,ov={s['overlap']:.0%}:"
+            f"{s['efficiency']:.4f}{'' if s['meets_85pct'] else ' (<85%!)'}"
+            for s in rows_tc)
+        print(f"  t_c={tc:.1f}ms  {cells}", file=sys.stderr)
+    for b in break_even:
+        print(f"  break-even BW for 85% @ t_c={b['single_chip_ms']:.1f}ms, "
+              f"overlap={b['overlap']:.0%}: "
+              f"{b['break_even_ici_gbps']} GB/s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,10 @@ Configs (VERDICT r2 item 5: deepen parity to where the semantics bite):
   cross-entropy over symmetric linear bins; reference:
   models.py:253-307) — exercises the Gaussian-smoothed two-sided CDF
   target construction and the logit-space value decode on both sides.
+- ``hlgauss_twopart``: the two-part HL-Gauss critic (separate small/large
+  float-format-binned heads whose losses/means sum; reference:
+  models.py:309-434) — exercises the fp(3,3) bin construction and the
+  two-head decomposition end to end.
 - ``dreamer_swapped``: controlled experiment isolating the cause of the
   ``dreamer`` gap — runs OUR stack with the reference's swapped two-hot
   weights (reference dists.py:193-200 puts more mass on the *farther*
@@ -118,7 +122,7 @@ def _patch_swapped_two_hot():
 
 def run_ours(seed, num_updates, num_worlds, normalize_values=False,
              dreamer_critic=False, swapped_two_hot=False, overrides=None,
-             recurrent=True, hlgauss_critic=False):
+             recurrent=True, hlgauss_critic=False, hlgauss_two_part=False):
     if swapped_two_hot:
         _patch_swapped_two_hot()
     import madrona_learn_tpu as mlt
@@ -126,7 +130,7 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
     from madrona_learn_tpu.models import (
         ActorCritic, BackboneEncoder, BackboneShared, DenseLayerCritic,
         DreamerV3Critic, DenseLayerDiscreteActor, DictActor, HLGaussCritic,
-        LSTM, MLP, RecurrentBackboneEncoder)
+        HLGaussTwoPartCritic, LSTM, MLP, RecurrentBackboneEncoder)
 
     actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
     sim_fns = make_toy_env(ToyEnvConfig(
@@ -148,6 +152,8 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
         actor=DictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
         critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
+                else HLGaussTwoPartCritic.create(dtype=jnp.float32)
+                if hlgauss_two_part
                 else HLGaussCritic.create(dtype=jnp.float32)
                 if hlgauss_critic
                 else DenseLayerCritic(dtype=jnp.float32)))
@@ -182,7 +188,7 @@ def run_ours(seed, num_updates, num_worlds, normalize_values=False,
 
 def run_reference(seed, num_updates, num_worlds, normalize_values=False,
                   dreamer_critic=False, overrides=None, recurrent=True,
-                  hlgauss_critic=False):
+                  hlgauss_critic=False, hlgauss_two_part=False):
     sys.path.insert(0, REF_SRC)
     import flax
     import flax.linen as nn
@@ -191,7 +197,7 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
     from jax import random
     from madrona_learn.models import (
         MLP, DenseLayerCritic, DenseLayerDiscreteActor, DreamerV3Critic,
-        HLGaussCritic)
+        HLGaussCritic, HLGaussTwoPartCritic)
     from madrona_learn.rnn import LSTM
 
     from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
@@ -252,6 +258,8 @@ def run_reference(seed, num_updates, num_worlds, normalize_values=False,
         actor=RefDictActor(heads={"move": DenseLayerDiscreteActor(
             cfg=actions["move"], dtype=jnp.float32)}),
         critic=(DreamerV3Critic(dtype=jnp.float32) if dreamer_critic
+                else HLGaussTwoPartCritic.create(dtype=jnp.float32)
+                if hlgauss_two_part
                 else HLGaussCritic.create(dtype=jnp.float32)
                 if hlgauss_critic
                 else DenseLayerCritic(dtype=jnp.float32)))
@@ -290,7 +298,7 @@ def main():
     parser.add_argument("--config",
                         choices=("base", "valuenorm", "dreamer",
                                  "dreamer_swapped", "filter", "importance",
-                                 "hlgauss"),
+                                 "hlgauss", "hlgauss_twopart"),
                         default="base")
     parser.add_argument("--updates", type=int, default=30)
     parser.add_argument("--worlds", type=int, default=256)
@@ -301,7 +309,8 @@ def main():
     normalize_values = args.config == "valuenorm"
     dreamer_critic = args.config in ("dreamer", "dreamer_swapped")
     swapped_two_hot = args.config == "dreamer_swapped"
-    hlgauss_critic = args.config == "hlgauss"
+    hlgauss_critic = args.config in ("hlgauss", "hlgauss_twopart")
+    hlgauss_two_part = args.config == "hlgauss_twopart"
     overrides = None
     recurrent = True
     if args.config == "filter":
@@ -317,11 +326,12 @@ def main():
         print(f"--- reference seed {s} ({args.config}) ---", flush=True)
         ref_curves.append(run_reference(
             s, args.updates, args.worlds, normalize_values, dreamer_critic,
-            overrides, recurrent, hlgauss_critic))
+            overrides, recurrent, hlgauss_critic, hlgauss_two_part))
         print(f"--- ours seed {s} ({args.config}) ---", flush=True)
         our_curves.append(run_ours(
             s, args.updates, args.worlds, normalize_values, dreamer_critic,
-            swapped_two_hot, overrides, recurrent, hlgauss_critic))
+            swapped_two_hot, overrides, recurrent, hlgauss_critic,
+            hlgauss_two_part))
 
     ref = np.asarray(ref_curves)   # [seeds, updates]
     ours = np.asarray(our_curves)

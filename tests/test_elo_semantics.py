@@ -234,23 +234,25 @@ def test_pbt_update_fitness_matches_numpy_oracle():
 def test_underfilled_tournament_still_ranks_strongest_first():
     """VERDICT r2 item 8: when the sim batch provides fewer match slots
     than all-pairs pairings (6 policies -> 36 pairings vs 32 slots here),
-    the warning must name the dropped pairings, and the partial tournament
-    must still rank a strictly-stronger policy first — the dropped pairs
-    only remove head-to-head evidence, and transitivity through shared
-    opponents preserves the ordering."""
+    the warning must state the dropped-pairing count and the pair_offset
+    rotation mechanism (no static pair list is truthful — which pairings
+    drop depends on the traced per-cycle offset), and the partial
+    tournament must still rank a strictly-stronger policy first — the
+    dropped pairs only remove head-to-head evidence, and transitivity
+    through shared opponents preserves the ordering."""
     import warnings as _warnings
 
     mgr = build_training_mgr(seed=101)
     mgr = bias_policies_by_strength(mgr)
 
-    with pytest.warns(UserWarning, match="dropped pairings") as rec:
+    with pytest.warns(UserWarning, match="drops 4 pairings") as rec:
         mgr, _ = mlt.eval_elo(
             mgr, num_eval_steps=16,
             eval_sim_ctrl=jnp.zeros((1,), jnp.int32),
             train_sim_ctrl=jnp.zeros((1,), jnp.int32))
     msgs = [str(w.message) for w in rec
-            if "dropped pairings" in str(w.message)]
-    assert msgs and "v" in msgs[0]  # concrete pair list, e.g. "5v2"
+            if "drops 4 pairings" in str(w.message)]
+    assert msgs and "pair_offset" in msgs[0]  # rotation mechanism named
 
     elos = np.asarray(mgr.state.policy_states.mmr.elo)
     train_elos = elos[:NUM_TRAIN]

@@ -210,10 +210,23 @@ def test_mha_flash_backward_is_flash_structured():
 
     s = str(jaxpr)
     assert s.count("pallas_call") == 3, s.count("pallas_call")
-    # No [.., S, S] f32 score tensor at the jaxpr top level (the kernels'
-    # inner tiles don't print as top-level eqn outputs).
-    assert f"({B},{H},{S},{S})" not in s.replace(" ", "")
-    assert f"({B*H},{S},{S})" not in s.replace(" ", "")
+
+    # No eqn output anywhere in the trace materializes an [..., S, S]
+    # score tensor (jaxpr array types print with brackets — f32[2,2,256,256]
+    # — so string-matching parenthesized shape tuples would miss a
+    # dot_general score; walk the avals instead. The kernels' inner tiles
+    # never appear as eqn outputs).
+    def walk(jx):
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                shape = getattr(aval, "shape", ())
+                assert not (len(shape) >= 2
+                            and shape[-1] == S and shape[-2] == S), (
+                    eqn.primitive, shape)
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                walk(sub)
+    walk(jaxpr.jaxpr)
 
 
 def test_entity_net_pallas_path_matches_xla():
