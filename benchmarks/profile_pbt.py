@@ -29,11 +29,13 @@ sys.path.insert(0, ".")
 
 import jax
 
-# This box's sitecustomize overrides the JAX_PLATFORMS env var; the
-# config update is the reliable way to force a backend in subprocesses
-# (configs_bench.py learned this round 3).
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# This box's sitecustomize pins JAX_PLATFORMS=axon; a bare env var cannot
+# force CPU in subprocesses — the config update is the reliable override
+# (configs_bench.py learned this round 3). Only force when CPU was asked
+# for: pinning "axon" via the config would REMOVE the host-cpu backend
+# that init_on_cpu needs.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
@@ -49,7 +51,9 @@ STEPS = 32
 CH = 256
 
 
-def build_manager(dtype, num_worlds=NUM_WORLDS, steps=STEPS):
+def build_manager(dtype, num_worlds=NUM_WORLDS, steps=STEPS,
+                  chunk_override=0, num_train=NUM_TRAIN, num_past=NUM_PAST,
+                  portions=(0.25, 0.5, 0.25)):
     import madrona_learn_tpu as mlt
     from madrona_learn_tpu.envs import ToyEnvConfig, make_duel_env
     from madrona_learn_tpu.models import (
@@ -81,10 +85,11 @@ def build_manager(dtype, num_worlds=NUM_WORLDS, steps=STEPS):
             jnp.where(er[0] == 0, 1.0, jnp.where(er[0] == 1, 0.0, 0.5)),
             jnp.where(er[0] == 0, 0.0, jnp.where(er[0] == 1, 1.0, 0.5))))
 
-    # train agents/policy: sim_batch * (0.25 + 0.5/2 + 0.25/2) / 8
-    # (= 2560 at the default 16384-world shape); seqs = 2x that, split
-    # into 4 minibatches (matches pbt_bench.py's 2560 at default shape).
-    train_agents = int(num_worlds * 2 * 0.625) // NUM_TRAIN
+    # train agents/policy: sim_batch * (self + cross/2 + past/2) / P
+    # (= 2560 at the default 8-train 16384-world shape); seqs = 2x that,
+    # split into 4 minibatches (matches pbt_bench.py at default shape).
+    sp, cp, pp = portions
+    train_agents = int(num_worlds * 2 * (sp + cp / 2 + pp / 2)) // num_train
     minibatch_size = max(train_agents * 2 // 4, 1)
     cfg = mlt.TrainConfig(
         num_worlds=num_worlds, num_agents_per_world=2, num_updates=10,
@@ -95,9 +100,10 @@ def build_manager(dtype, num_worlds=NUM_WORLDS, steps=STEPS):
             value_loss_coef=0.5, entropy_coef=0.01, max_grad_norm=0.5),
         pbt=mlt.PBTConfig(
             num_teams=2, team_size=1,
-            num_train_policies=NUM_TRAIN, num_past_policies=NUM_PAST,
-            self_play_portion=0.25, cross_play_portion=0.5,
-            past_play_portion=0.25),
+            num_train_policies=num_train, num_past_policies=num_past,
+            self_play_portion=sp, cross_play_portion=cp,
+            past_play_portion=pp,
+            rollout_policy_chunk_size_override=chunk_override),
         dreamer_v3_critic=False, compute_dtype=dtype,
         use_pallas_gae=on_tpu)
     return mlt.init_training(
@@ -113,13 +119,44 @@ def main():
     parser.add_argument("--worlds", type=int, default=NUM_WORLDS)
     parser.add_argument("--steps", type=int, default=STEPS)
     parser.add_argument("--out-dir", default="artifacts/xprof_pbt")
+    parser.add_argument("--chunk-override", type=int, default=0,
+                        help="rollout_policy_chunk_size_override")
+    parser.add_argument("--chunk-sweep", type=str, default=None,
+                        help="comma-separated chunk sizes: time each "
+                             "end-to-end in ONE process (no trace)")
+    parser.add_argument("--train-policies", type=int, default=NUM_TRAIN)
+    parser.add_argument("--past-policies", type=int, default=NUM_PAST)
+    parser.add_argument("--portions", type=str, default="0.25,0.5,0.25",
+                        help="self,cross,past play portions")
     args = parser.parse_args()
 
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
 
+    if args.chunk_sweep:
+        agent_steps = args.worlds * 2 * args.steps
+        portions = tuple(float(x) for x in args.portions.split(","))
+        for c in (int(x) for x in args.chunk_sweep.split(",")):
+            mgr = build_manager(dtype, args.worlds, args.steps, c,
+                                args.train_policies, args.past_policies,
+                                portions)
+            update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
+            update_c = update.lower(mgr).compile()
+            sync = lambda m: jax.device_get(m.metrics.metrics["Loss"].mean)
+            full_dt, _ = time_compiled_chain(
+                update_c, mgr, sync, n=args.updates)
+            print(json.dumps({
+                "chunk": c,
+                "num_chunks": mgr.rollout.cfg.num_policy_chunks,
+                "update_ms": round(full_dt * 1e3, 2),
+                "agent_steps_per_s": round(agent_steps / full_dt, 1),
+            }), flush=True)
+        return
+
     t0 = time.perf_counter()
-    mgr = build_manager(dtype, args.worlds, args.steps)
+    mgr = build_manager(dtype, args.worlds, args.steps, args.chunk_override,
+                        args.train_policies, args.past_policies,
+                        tuple(float(x) for x in args.portions.split(",")))
     print(f"init {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)

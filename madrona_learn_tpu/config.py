@@ -140,6 +140,17 @@ class MeshConfig:
     # memory-level GSPMD tensor parallelism. See docs/scaling.md
     # "The TP fold".
     manual_learn: bool = True
+    # Run the collect phase as a manual shard_map region over ``data``
+    # (round 5): the single-step LSTM/GRU and entity-attention kernels stay
+    # routed at pod scale, and the collect-phase communication is exactly
+    # the explicit reductions (per-step obs-EMA moments + end-of-collect
+    # metric merges — a few hundred bytes over ``data``). Auto-falls back
+    # to GSPMD collect when the sim is not data-parallel (host-callback /
+    # FFI sims can't run under shard_map), when model > 1 (preserving
+    # GSPMD's inference tensor parallelism for wide models), or when the
+    # batch does not slice cleanly
+    # (rollouts.RolloutManager._manual_collect_enabled).
+    manual_collect: bool = True
 
     @property
     def num_devices(self) -> int:

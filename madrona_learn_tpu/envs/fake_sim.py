@@ -68,8 +68,10 @@ def make_fake_sim(cfg: FakeSimConfig):
         counter = jnp.where(agent_resets, 0, counter)
 
         # Per-world match results: the winning team is just team 0 (enough to
-        # drive the episode_results plumbing in tests).
-        episode_results = jnp.zeros((cfg.num_worlds, 1), jnp.int32)
+        # drive the episode_results plumbing in tests). Batch-polymorphic
+        # (manual collect region runs the step on world-slices).
+        num_worlds = actions.shape[0] // cfg.agents_per_world
+        episode_results = jnp.zeros((num_worlds, 1), jnp.int32)
 
         return {
             "state": {},
@@ -82,7 +84,7 @@ def make_fake_sim(cfg: FakeSimConfig):
             "pbt": {"episode_results": episode_results},
         }
 
-    return {"init": init_fn, "step": step_fn}
+    return {"init": init_fn, "step": step_fn, "data_parallel": True}
 
 
 class FakeActionDist:

@@ -55,8 +55,37 @@ _MOVES = np.array(
     [[0, 0], [0, 1], [0, -1], [1, 0], [-1, 0]], dtype=np.int32)
 
 
+def _hash_u32(seed, a, b, salt):
+    """Counter-based per-row integer hash (xxhash-style avalanche).
+
+    A stateless function of (seed, row id, tick, salt), so it is
+    SLICE-EQUIVARIANT: row i of a batch-wide evaluation equals the same
+    row evaluated inside any contiguous slice — the property the manual
+    collect region needs from a data-parallel sim (a single batch PRNG
+    key would draw different values per slice shape). Toy-env-grade
+    statistical quality.
+    """
+    h = (jnp.uint32(seed)
+         ^ (a.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+         ^ (b.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+         ^ jnp.uint32(salt) * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    return h
+
+
 def make_toy_env(cfg: ToyEnvConfig):
-    """Build ``sim_fns`` for the target-chasing gridworld."""
+    """Build ``sim_fns`` for the target-chasing gridworld.
+
+    The step function is batch-polymorphic and per-row independent
+    (``data_parallel``): every per-row quantity derives from the row's own
+    state (including respawn draws, via a counter-based hash of the row id
+    and a never-reset tick), so the manual collect region can run it on
+    world-slices with slice-invariant results.
+    """
 
     B = cfg.batch_size
 
@@ -70,11 +99,14 @@ def make_toy_env(cfg: ToyEnvConfig):
 
     def init_fn():
         key = random.PRNGKey(cfg.seed)
-        k_pos, k_tgt, k_state = random.split(key, 3)
+        k_pos, k_tgt = random.split(key, 2)
         pos = random.randint(k_pos, (B, 2), 0, cfg.grid_size)
         target = random.randint(k_tgt, (B, 2), 0, cfg.grid_size)
         t = jnp.zeros((B, 1), jnp.int32)
-        state = {"pos": pos, "target": target, "t": t, "key": k_state}
+        rid = jnp.arange(B, dtype=jnp.int32)[:, None]
+        tick = jnp.zeros((B, 1), jnp.int32)
+        state = {"pos": pos, "target": target, "t": t,
+                 "rid": rid, "tick": tick}
         return {"state": state, "obs": _obs(pos, target, t)}
 
     def step_fn(step_input):
@@ -82,8 +114,8 @@ def make_toy_env(cfg: ToyEnvConfig):
         action = step_input["actions"]["move"][..., 0]  # [B]
         resets = step_input["resets"]  # [num_worlds, 1]
 
-        pos, target, t, key = (
-            state["pos"], state["target"], state["t"], state["key"])
+        pos, target, t = state["pos"], state["target"], state["t"]
+        rid, tick = state["rid"], state["tick"]
 
         old_dist = jnp.sum(jnp.abs(target - pos), axis=-1, keepdims=True)
         moves = jnp.asarray(_MOVES)
@@ -97,24 +129,30 @@ def make_toy_env(cfg: ToyEnvConfig):
         ).astype(cfg.reward_dtype)
 
         t = t + 1
+        tick = tick + 1
         episode_over = t >= cfg.episode_len
         agent_resets = jnp.repeat(
             resets, cfg.agents_per_world, axis=0).astype(jnp.bool_)
         dones = jnp.logical_or(episode_over, agent_resets)
 
-        # Respawn finished agents at fresh random positions.
-        key, k_pos, k_tgt = random.split(key, 3)
-        respawn_pos = random.randint(k_pos, (B, 2), 0, cfg.grid_size)
-        respawn_tgt = random.randint(k_tgt, (B, 2), 0, cfg.grid_size)
+        # Respawn finished agents at fresh pseudo-random positions: a
+        # stateless hash of (row id, tick) — per-row independent, so the
+        # step slices cleanly over the batch (see _hash_u32).
+        def draw(salt):
+            return (_hash_u32(cfg.seed, rid, tick, salt)
+                    % jnp.uint32(cfg.grid_size)).astype(jnp.int32)
+
+        respawn_pos = jnp.concatenate([draw(1), draw(2)], axis=-1)
+        respawn_tgt = jnp.concatenate([draw(3), draw(4)], axis=-1)
 
         pos = jnp.where(dones, respawn_pos, new_pos)
         target = jnp.where(dones, respawn_tgt, target)
         t = jnp.where(dones, 0, t)
 
-        new_state = {"pos": pos, "target": target, "t": t, "key": key}
-        # Episode score: final distance (lower better); report negated so
-        # higher-is-better like every other score.
-        episode_results = jnp.zeros((cfg.num_worlds, 1), jnp.int32)
+        new_state = {"pos": pos, "target": target, "t": t,
+                     "rid": rid, "tick": tick}
+        num_worlds = action.shape[0] // cfg.agents_per_world
+        episode_results = jnp.zeros((num_worlds, 1), jnp.int32)
 
         return {
             "state": new_state,
@@ -136,12 +174,15 @@ def make_toy_env(cfg: ToyEnvConfig):
         pos = ckpts[:, 0:2]
         target = ckpts[:, 2:4]
         t = ckpts[:, 4:5]
+        n = ckpts.shape[0]
         state = {"pos": pos, "target": target, "t": t,
-                 "key": random.PRNGKey(cfg.seed + 1)}
+                 "rid": jnp.arange(n, dtype=jnp.int32)[:, None],
+                 "tick": jnp.zeros((n, 1), jnp.int32)}
         return {"state": state, "obs": _obs(pos, target, t)}
 
     return {"init": init_fn, "step": step_fn,
-            "get_ckpts": get_ckpts_fn, "load_ckpts": load_ckpts_fn}
+            "get_ckpts": get_ckpts_fn, "load_ckpts": load_ckpts_fn,
+            "data_parallel": True}
 
 
 def make_duel_env(cfg: ToyEnvConfig):
@@ -178,8 +219,9 @@ def make_duel_env(cfg: ToyEnvConfig):
         agent_resets = jnp.repeat(resets, A, axis=0).astype(jnp.bool_)
         dones = jnp.logical_or(episode_over, agent_resets)
 
-        # Per-world team sums: [num_worlds, num_teams]
-        team_acc = acc.reshape(cfg.num_worlds, cfg.num_teams, cfg.team_size)
+        # Per-world team sums: [num_worlds, num_teams] (batch-polymorphic
+        # so the manual collect region can run the step on world-slices)
+        team_acc = acc.reshape(-1, cfg.num_teams, cfg.team_size)
         team_sums = team_acc.sum(axis=-1)
         team0_wins = team_sums[:, 0] > team_sums[:, 1]
         draw = team_sums[:, 0] == team_sums[:, 1]
@@ -209,4 +251,4 @@ def make_duel_env(cfg: ToyEnvConfig):
             "pbt": {"episode_results": episode_results},
         }
 
-    return {"init": init_fn, "step": step_fn}
+    return {"init": init_fn, "step": step_fn, "data_parallel": True}

@@ -44,7 +44,10 @@ class KeyOps:
     init_state: Callable = lambda ob: None
     update_state: Callable = _NOOP
     init_obs_stats: Callable = _NOOP
-    update_obs_stats: Callable = lambda state, stats, n, ob: None
+    # axis_name: mesh axis to reduce batch moments over, when the stats
+    # update runs inside a manual shard_map region on a batch slice.
+    update_obs_stats: Callable = (
+        lambda state, stats, n, ob, axis_name=None: None)
 
 
 class ObservationsPreprocess:
@@ -95,7 +98,7 @@ class ObservationsPreprocess:
         return self._apply("init_obs_stats", vmap, states)
 
     def update_obs_stats(self, states, cur_obs_stats, num_prev_updates, obs,
-                         vmap):
+                         vmap, axis_name=None):
         keys = states.keys()
         out = {}
         for ob_name in keys:
@@ -105,12 +108,15 @@ class ObservationsPreprocess:
                 axes = tuple(0 if a is not None else None for a in args)
                 if any(ax == 0 for ax in axes):
                     fn = jax.vmap(
-                        lambda s, c, o: op(s, c, num_prev_updates, o),
+                        lambda s, c, o: op(s, c, num_prev_updates, o,
+                                           axis_name=axis_name),
                         in_axes=axes)
                 else:
-                    fn = lambda s, c, o: op(s, c, num_prev_updates, o)
+                    fn = lambda s, c, o: op(s, c, num_prev_updates, o,
+                                            axis_name=axis_name)
             else:
-                fn = lambda s, c, o: op(s, c, num_prev_updates, o)
+                fn = lambda s, c, o: op(s, c, num_prev_updates, o,
+                                        axis_name=axis_name)
             out[ob_name] = fn(*args)
         return FrozenDict(out)
 
@@ -151,8 +157,9 @@ class ObservationsEMANormalizer(ObservationsPreprocess):
             init_state=lambda ob: norm.init_estimates(prep(ob)),
             update_state=norm.update_estimates,
             init_obs_stats=norm.init_input_stats,
-            update_obs_stats=lambda est, stats, n, ob: (
-                norm.update_input_stats(stats, n, prep(ob))),
+            update_obs_stats=lambda est, stats, n, ob, axis_name=None: (
+                norm.update_input_stats(stats, n, prep(ob),
+                                        axis_name=axis_name)),
         )
 
 

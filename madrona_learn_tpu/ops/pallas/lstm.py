@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Experiment override for benchmarks/lstm_bench.py --sweep-block.
 _BLOCK_N_OVERRIDE = None
+_BLOCK_N_BWD_OVERRIDE = None
 
 
 def _block_n(hidden, n):
@@ -65,6 +66,18 @@ def _block_n(hidden, n):
         return _BLOCK_N_OVERRIDE
     cap = min(512, max(128, (128 * 1024) // max(hidden, 1)))
     return min(cap, 256) if n <= 256 else cap
+
+
+def _block_n_bwd(hidden, n):
+    """Backward-specific batch tile (VERDICT r4 item 5 / TODO r5 #2).
+
+    The backward runs 3 MXU matmuls per step (gate remat, dgates @ Wr^T,
+    the fused dWr epilogue) against the forward's 1, so its compute/
+    stream balance could prefer its own tile. Defaults to the shared
+    tile; sweep results in docs/kernels.md (round 5)."""
+    if _BLOCK_N_BWD_OVERRIDE is not None:
+        return _BLOCK_N_BWD_OVERRIDE
+    return _block_n(hidden, n)
 
 
 def lstm_supported(hidden, dtype):
@@ -271,7 +284,7 @@ def _lstm_seq_bwd(interpret, residuals, dys):
     x_proj, keep, wr, bias, c0, h0, ys, cs = residuals
     T, N, G4 = x_proj.shape
     H = G4 // 4
-    BN = _block_n(H, N)
+    BN = _block_n_bwd(H, N)
     keep3 = keep[..., None]  # [T, N, 1]
     padded, n_padded = _pad_batch(
         [(x_proj, 1), (keep3, 1), (c0, 0), (h0, 0), (ys, 1), (cs, 1),
@@ -551,7 +564,7 @@ def _lstm_proj_bwd(interpret, residuals, dys):
     T, N, F = x.shape
     H = wr.shape[0]
     G4 = 4 * H
-    BN = _block_n(H, N)
+    BN = _block_n_bwd(H, N)
     keep3 = keep[..., None]
     padded, n_padded = _pad_batch(
         [(x, 1), (keep3, 1), (c0, 0), (h0, 0), (ys, 1), (cs, 1),

@@ -23,7 +23,7 @@ import dataclasses
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Union
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import flax
 import jax
@@ -60,12 +60,25 @@ from .utils.profile import profile
 def heuristic_policy_chunk_size(sim_batch_size: int,
                                 total_num_policies: int,
                                 min_chunk: int) -> int:
-    """Pow2 chunk size from the guaranteed per-policy share, floored at 64
-    for sublane alignment, capped so reserved-partial-chunk padding stays
-    <= half the batch (v5e-measured optimum; see the setup comment and
-    benchmarks/infer_bench.py --chunk sweep). Shared with the benchmarks so
-    they always measure the production geometry."""
+    """Pow2 chunk size from the guaranteed per-policy share, in the
+    [64, 512] band, capped so reserved-partial-chunk padding stays <= half
+    the batch.
+
+    The chunk size trades reserved-partial-chunk PADDING ((P-1)*C rows of
+    wasted inference) against per-chunk WEIGHT TRAFFIC (the per-step
+    gather materializes one full per-policy parameter copy per chunk —
+    ~(N/C + P) * params bytes every rollout step). Round-5 e2e sweeps on
+    v5e (benchmarks/profile_pbt.py --chunk-sweep) found the optimum in
+    the 256-512 band across 4-32-policy shapes: config #4 (12 policies,
+    32k agents) 64: 3.90M / 256: 4.61M / 512: 4.59M / 1024: 4.29M
+    agent-steps/s; config #3 (4 policies, 16k) 64: 4.30M / 256: 5.26M /
+    512: 5.33M / 1024: 5.12M; the round-2 32-policy infer sweep peaked at
+    256. (Round 1-4 seeded min_chunk from gcd(batch, P), which dragged C
+    to the 64 floor — 523 chunks at config #4 — costing ~18-24% e2e.)
+    Shared with the benchmarks so they always measure the production
+    geometry."""
     c = 1 << ((min_chunk - 1).bit_length())
+    c = min(c, 512)
     c = max(c, min(64, sim_batch_size))
     pad_budget = sim_batch_size // (2 * max(total_num_policies - 1, 1))
     if pad_budget >= 1:
@@ -165,8 +178,13 @@ class RolloutConfig:
             assert pbt.num_teams > 1
             assert pbt.num_current_policies > 1 or pbt.num_past_policies > 0
 
-            # Smallest per-policy share any play-mode slice guarantees.
-            min_chunk = math.gcd(sim_batch_size, pbt.total_num_policies)
+            # Smallest per-policy share any ACTIVE play-mode slice
+            # guarantees, seeded from the average share. (Rounds 1-4
+            # seeded from gcd(batch, P) — e.g. gcd(32768, 12) = 4 — which
+            # dragged the chunk size to the 64 floor and quintupled the
+            # per-step weight-gather traffic; see
+            # heuristic_policy_chunk_size.)
+            min_chunk = sim_batch_size // pbt.total_num_policies
             if pbt.self_play_batch_size > 0:
                 min_chunk = min(
                     min_chunk,
@@ -247,6 +265,41 @@ class RolloutConfig:
         )
 
 
+def _rollout_cfg_shard_view(cfg: RolloutConfig, num_shards: int):
+    """Per-shard view of a data-sharded rollout config (manual collect).
+
+    One contiguous ``sim_batch_size / D`` block: batch sizes, world count
+    and chunk counts divide by D; the matchmaking config becomes its
+    single-shard view; ``data_shards`` collapses to 1 (each shard computes
+    the flat layout locally). Mirrors ``PBTMatchmakeConfig.shard_view``.
+    """
+    D = num_shards
+    if D <= 1:
+        return cfg
+    assert cfg.sim_batch_size % D == 0 and cfg.num_worlds % D == 0
+    if cfg.pbt.complex_matchmaking:
+        assert cfg.data_shards == D and cfg.pbt.num_data_shards == D, (
+            "manual collect requires the shard-major matchmaking layout "
+            "at the mesh's data axis (RolloutConfig.setup auto-enables it "
+            "when the play-mode slices divide)")
+        num_chunks = cfg.num_policy_chunks // D
+    else:
+        # Simple path (P == 1): one chunk spanning the whole local batch.
+        num_chunks = cfg.num_policy_chunks
+    chunk = (cfg.policy_chunk_size // D
+             if not cfg.pbt.complex_matchmaking else cfg.policy_chunk_size)
+    return dataclasses.replace(
+        cfg,
+        sim_batch_size=cfg.sim_batch_size // D,
+        num_worlds=cfg.num_worlds // D,
+        policy_chunk_size=chunk,
+        num_policy_chunks=num_chunks,
+        total_policy_batch_size=num_chunks * chunk,
+        data_shards=1,
+        pbt=cfg.pbt.shard_view(),
+    )
+
+
 def _compute_reorder_state(assignments, rollout_cfg: RolloutConfig):
     if rollout_cfg.pbt.complex_matchmaking:
         if rollout_cfg.data_shards > 1:
@@ -298,6 +351,13 @@ class RolloutState(flax.struct.PyTreeNode):
     policy_assignments: jax.Array
     sim_ctrl: jax.Array
     env_returns: jax.Array
+    # The simulator declares (via sim_fns["data_parallel"] = True) that its
+    # step is an independent per-world function of per-world state — safe
+    # to run on world-slices inside the manual collect region. Host-callback
+    # / FFI sims must leave this False (callbacks inside shard_map are not
+    # supported); they keep the GSPMD collect path.
+    data_parallel_sim: bool = flax.struct.field(
+        pytree_node=False, default=False)
 
     @staticmethod
     def create(
@@ -337,6 +397,7 @@ class RolloutState(flax.struct.PyTreeNode):
             env_returns=jnp.zeros(
                 (rollout_cfg.sim_batch_size, 1),
                 dtype=rollout_cfg.reward_dtype),
+            data_parallel_sim=bool(sim_fns.get("data_parallel", False)),
         )
 
     def update(self, **changes) -> "RolloutState":
@@ -462,6 +523,7 @@ def rollout_loop(
     post_step_cb: Callable,
     cb_state: Any,
     start_step_idx: Union[int, jax.Array] = 0,
+    shard_info: Optional[Tuple[str, int]] = None,
     **policy_kwargs,
 ):
     """Scan ``num_steps`` sim steps.
@@ -477,16 +539,26 @@ def rollout_loop(
     Returns ``(rollout_state, cb_state, (stacked_inference_emits,
     stacked_step_emits))``. ``policy_states`` is loop-invariant (closure), so
     XLA keeps weights resident across steps.
+
+    ``shard_info=(axis_name, D)`` marks a call from inside the manual
+    collect region: ``rollout_state`` holds this data shard's slice (local
+    cfg = the global cfg's shard view), while the PRNG carry is replicated.
+    Key derivation then reproduces the global program bit-for-bit — split
+    into the GLOBAL chunk/shard counts and take this shard's slice — so
+    manual and GSPMD collects sample identical actions and matchups.
     """
     cfg = rollout_state.cfg
+    shard_axis, num_shards = shard_info if shard_info else (None, 1)
 
-    # Multi-device mesh: the per-step per-chunk weight gather must read a
-    # REPLICATED population — from a policy-sharded one it lowers to a
-    # [num_chunks x params] all-reduce over the policy axis every step
-    # (measured 44.85 GB/device/update at BASELINE config-#5 scale,
-    # scripts/comm_budget.py). One all-gather per loop instead.
-    from .parallel.mesh import replicate_for_inference
-    policy_states = replicate_for_inference(policy_states, cfg.mesh)
+    if shard_axis is None:
+        # Multi-device mesh: the per-step per-chunk weight gather must read
+        # a REPLICATED population — from a policy-sharded one it lowers to a
+        # [num_chunks x params] all-reduce over the policy axis every step
+        # (measured 44.85 GB/device/update at BASELINE config-#5 scale,
+        # scripts/comm_budget.py). One all-gather per loop instead. (Inside
+        # the manual region the caller already passes a replicated copy.)
+        from .parallel.mesh import replicate_for_inference
+        policy_states = replicate_for_inference(policy_states, cfg.mesh)
 
     def obs_preprocess_fn(state, obs):
         return state.obs_preprocess.preprocess(
@@ -526,7 +598,18 @@ def rollout_loop(
 
         with profile("Policy Inference"):
             prng_key, step_key = random.split(prng_key)
-            step_keys = random.split(step_key, cfg.num_policy_chunks)
+            if shard_axis is None:
+                step_keys = random.split(step_key, cfg.num_policy_chunks)
+            else:
+                # This shard's contiguous slice of the GLOBAL per-chunk key
+                # set (chunk layout is shard-major, so slice s owns chunks
+                # [s*local, (s+1)*local)).
+                all_keys = random.split(
+                    step_key, cfg.num_policy_chunks * num_shards)
+                step_keys = lax.dynamic_slice_in_dim(
+                    all_keys,
+                    lax.axis_index(shard_axis) * cfg.num_policy_chunks,
+                    cfg.num_policy_chunks)
 
             # Sub-scopes map XProf device self-time onto the complex-
             # matchmaking cost centers (scripts/xprof_summary.py --hlo
@@ -596,9 +679,22 @@ def rollout_loop(
                 "episode_results", None)
 
             with profile("Matchmaking"):
-                policy_assignments, prng_key = pbt_update_matchmaking(
-                    policy_assignments, policy_states, dones,
-                    episode_results, prng_key, cfg.pbt)
+                if (shard_axis is None or num_shards == 1
+                        or not cfg.pbt.complex_matchmaking):
+                    policy_assignments, prng_key = pbt_update_matchmaking(
+                        policy_assignments, policy_states, dones,
+                        episode_results, prng_key, cfg.pbt)
+                else:
+                    # Local reroll with this shard's key from the GLOBAL
+                    # split — bit-identical to the shard-major layout's
+                    # vmapped reroll (pbt.pbt_update_matchmaking D>1
+                    # branch: keys[0] carries, keys[1+s] rerolls shard s).
+                    keys = random.split(prng_key, num_shards + 1)
+                    my_key = keys[1:][lax.axis_index(shard_axis)]
+                    policy_assignments, _ = pbt_update_matchmaking(
+                        policy_assignments, policy_states, dones,
+                        episode_results, my_key, cfg.pbt)
+                    prng_key = keys[0]
 
             with profile("Compute Reorder State"):
                 reorder_state = _compute_reorder_state(
@@ -816,8 +912,57 @@ class RolloutManager:
         if not self._cfg.pbt.complex_matchmaking:
             return data  # policy order == train order on the simple path
 
-        def to_train(x):
-            return self._train_gather(reorder_state.to_sim(x))
+        # Compose chunk->sim->train into ONE gather (round 5): the two-step
+        # path (to_sim then _train_gather) materializes a full [sim_batch]
+        # intermediate for every emitted leaf on every rollout step; the
+        # XProf attribution put the per-step emission at 22% of the
+        # config-#4 update (BASELINE.md round-5 table). The composition
+        # runs on the [P, A] int32 index table instead of the data.
+        to_sim_idxs = reorder_state.to_sim_idxs
+        if to_sim_idxs is None:
+            def to_train(x):
+                return self._train_gather(reorder_state.to_sim(x))
+            return jax.tree.map(to_train, data)
+
+        # Two independent shard counts: D shards the chunk layout
+        # (reorder), E shards the emission layout (shard-major
+        # matchmaking). E > 1 implies D == E (RolloutConfig.setup); E == 1
+        # with D > 1 happens when the batch divides for the reorder but
+        # not for the matchmaking layout — there the composed indices
+        # cross shard blocks, exactly like the two-step path did.
+        D = reorder_state.data_shards
+        E = self._cfg.pbt.num_data_shards
+        if E > 1:
+            # Shard-local composition: per-shard chunk-flat indices stay in
+            # local space so the vmapped gather partitions collective-free
+            # (same construction as _train_gather).
+            cidx = jax.vmap(lambda ts: ts[self._sim_to_train_idxs])(
+                to_sim_idxs)  # [D, P, A/D]
+
+            def to_train(x):
+                xb = x.reshape(D, -1, *x.shape[2:])
+                out = jax.vmap(
+                    lambda blk, ci: blk.at[ci].get(unique_indices=True)
+                )(xb, cidx)  # [D, P, A/D, ...]
+                out = jnp.swapaxes(out, 0, 1)
+                return out.reshape(
+                    self._num_train_policies,
+                    self._num_train_agents_per_policy, *x.shape[2:])
+        else:
+            if D == 1:
+                glob = to_sim_idxs  # [N] into the flat [B*C] chunk layout
+            else:
+                # Lift per-shard-local chunk indices to the global flat
+                # chunk layout: block s occupies [s*B_local*C, (s+1)*...).
+                b_local, c = reorder_state.to_policy_idxs.shape[1:3]
+                glob = (to_sim_idxs
+                        + (jnp.arange(D, dtype=to_sim_idxs.dtype)
+                           * (b_local * c))[:, None]).reshape(-1)
+            cidx = glob[self._sim_to_train_idxs]  # [P, A]
+
+            def to_train(x):
+                flat = x.reshape(-1, *x.shape[2:])
+                return flat.at[cidx].get(unique_indices=True)
 
         return jax.tree.map(to_train, data)
 
@@ -839,6 +984,64 @@ class RolloutManager:
 
     # -- collection ----------------------------------------------------------
 
+    def _manual_collect_enabled(self, rollout_state: RolloutState) -> bool:
+        """Whether collect runs as a manual shard_map region over ``data``.
+
+        Inside the region the trace is manual over every mesh axis, so the
+        Mosaic kernels (single-step LSTM/GRU, entity attention, GAE) stay
+        routed at pod scale instead of falling back to jnp twins under
+        GSPMD (the learn phase got this in round 3; collect was the last
+        GSPMD phase). Requirements:
+
+        - a multi-device mesh with ``manual_collect`` (the default);
+        - ``model == 1``: a data-only region replicates params over the
+          model axis, which would silently drop GSPMD's inference tensor
+          parallelism for genuinely wide models — those keep GSPMD;
+        - a sim that declares ``data_parallel`` (host-callback/FFI sims
+          cannot run under shard_map);
+        - D > 1 requires COMPLEX matchmaking with the shard-major layout
+          active at the mesh's data axis: each shard then computes its own
+          self|cross|past block locally, and the per-CHUNK sampling keys
+          slice from the global stream bit-exactly. The simple path's one
+          chunk spans the whole batch with a single sampling key, which is
+          not slice-equivariant — it keeps GSPMD collect (D == 1 meshes,
+          where nothing is sliced, still engage).
+        """
+        m = self._mesh_cfg
+        if (m is None or m.num_devices <= 1
+                or not getattr(m, "manual_collect", True)):
+            return False
+        if m.model > 1:
+            return False
+        if not rollout_state.data_parallel_sim:
+            return False
+        cfg = self._cfg
+        D = m.data
+        if D == 1:
+            return True  # replicated region: kernels routed, nothing sliced
+        if cfg.sim_batch_size % D or cfg.num_worlds % D:
+            return False
+        return (cfg.pbt.complex_matchmaking
+                and cfg.pbt.num_data_shards == D
+                and cfg.data_shards == D)
+
+    def _shard_view_manager(self, num_shards: int,
+                            local_cfg: RolloutConfig) -> "RolloutManager":
+        """Lightweight per-shard clone serving one data shard's slice.
+
+        ``_sim_to_train_idxs`` is ALREADY the shard-local table when the
+        shard-major layout is active (``_compute_sim_to_train_indices``);
+        the simple path uses reshapes and never reads it."""
+        import copy
+        m = copy.copy(self)
+        m._cfg = local_cfg
+        m._num_train_agents_per_policy = (
+            self._num_train_agents_per_policy // num_shards)
+        m._num_train_seqs_per_policy = (
+            self._num_train_seqs_per_policy // num_shards)
+        m._mesh_cfg = None  # single-shard semantics inside the region
+        return m
+
     def collect(
         self,
         train_state_mgr,
@@ -855,7 +1058,136 @@ class RolloutManager:
         from .parallel.mesh import replicate_for_inference
         policy_states = replicate_for_inference(
             train_state_mgr.policy_states, self._mesh_cfg)
-        user_state = train_state_mgr.user_state
+        train_states = train_state_mgr.train_states
+
+        if self._manual_collect_enabled(rollout_state):
+            (user_state, rollout_state, rollout_data, obs_stats,
+             metrics) = self._collect_manual(
+                policy_states, train_states, train_state_mgr.user_state,
+                rollout_state, metrics, user_start_rollouts_hook,
+                user_finish_rollouts_hook, user_metrics_hook)
+        else:
+            (user_state, rollout_state, rollout_data, obs_stats,
+             metrics) = self._collect_impl(
+                policy_states, train_states.value_normalizer,
+                train_states.value_normalizer_state,
+                train_state_mgr.user_state, rollout_state, metrics,
+                user_start_rollouts_hook, user_finish_rollouts_hook,
+                user_metrics_hook)
+
+        train_state_mgr = train_state_mgr.replace(user_state=user_state)
+        return (train_state_mgr, rollout_state, rollout_data,
+                obs_stats, metrics)
+
+    def _collect_manual(
+        self,
+        policy_states,
+        train_states,
+        user_state,
+        rollout_state: RolloutState,
+        metrics: TrainingMetrics,
+        user_start_rollouts_hook: Callable,
+        user_finish_rollouts_hook: Callable,
+        user_metrics_hook: Callable,
+    ):
+        """The collect phase as one manual shard_map region over ``data``.
+
+        Each shard runs the FLAT single-shard collect on its contiguous
+        batch block (the shard-major matchmaking layout makes every block
+        self-contained), with PRNG derivation sliced from the global key
+        streams (rollout_loop ``shard_info``) so results are bit-identical
+        to the GSPMD program. Cross-shard reductions are the per-step obs
+        EMA moments and the end-of-collect Welford metric merges — a few
+        hundred bytes over ``data``, matching the round-4 comm budget's
+        collect-phase rule.
+        """
+        from .parallel.mesh import DATA_AXIS, make_mesh
+
+        mesh_cfg = self._mesh_cfg
+        D = mesh_cfg.data
+        mesh = make_mesh(mesh_cfg)
+        Pspec = jax.sharding.PartitionSpec
+
+        global_cfg = self._cfg
+        local_cfg = _rollout_cfg_shard_view(global_cfg, D)
+        local_mgr = self._shard_view_manager(D, local_cfg)
+
+        sharded_dims = {global_cfg.sim_batch_size, global_cfg.num_worlds}
+
+        def state_spec(x):
+            if (hasattr(x, "ndim") and x.ndim >= 1
+                    and x.shape[0] in sharded_dims):
+                return Pspec(DATA_AXIS)
+            return Pspec()
+
+        # Plain-dict leaf passing (static RolloutState metadata — step_fn,
+        # cfg, reorder tables — travels by closure; the reorder tables
+        # re-derive locally inside and the global ones are rebuilt
+        # outside).
+        leaves_in = {
+            "sim_state": rollout_state.sim_state,
+            "cur_obs": rollout_state.cur_obs,
+            "prng_key": rollout_state.prng_key,
+            "rnn_states": rollout_state.rnn_states,
+            "policy_assignments": rollout_state.policy_assignments,
+            "sim_ctrl": rollout_state.sim_ctrl,
+            "env_returns": rollout_state.env_returns,
+        }
+        in_leaf_specs = jax.tree.map(state_spec, leaves_in)
+
+        vn = train_states.value_normalizer
+        vn_state = train_states.value_normalizer_state
+
+        def body(policy_states, vn_state, user_state, leaves, metrics):
+            local_state = rollout_state.replace(
+                cfg=local_cfg,
+                reorder_state=_compute_reorder_state(
+                    leaves["policy_assignments"], local_cfg),
+                **leaves)
+            (user_state, out_state, rollout_data, obs_stats,
+             metrics) = local_mgr._collect_impl(
+                policy_states, vn, vn_state, user_state, local_state,
+                metrics, user_start_rollouts_hook,
+                user_finish_rollouts_hook, user_metrics_hook,
+                shard_info=(DATA_AXIS, D))
+            leaves_out = {k: getattr(out_state, k) for k in leaves_in}
+            return (user_state, leaves_out, rollout_data.data, obs_stats,
+                    metrics)
+
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(Pspec(), Pspec(), Pspec(), in_leaf_specs, Pspec()),
+            out_specs=(Pspec(), in_leaf_specs, Pspec(None, DATA_AXIS),
+                       Pspec(), Pspec()),
+            check_vma=False)
+        (user_state, leaves_out, rollout_data_leaves, obs_stats,
+         metrics) = mapped(policy_states, vn_state, user_state,
+                           leaves_in, metrics)
+
+        rollout_state = rollout_state.replace(
+            reorder_state=_compute_reorder_state(
+                leaves_out["policy_assignments"], global_cfg),
+            **leaves_out)
+        rollout_data = RolloutData(
+            data=rollout_data_leaves,
+            num_train_seqs_per_policy=self._num_train_seqs_per_policy,
+            num_train_policies=self._num_train_policies)
+        return (user_state, rollout_state, rollout_data, obs_stats, metrics)
+
+    def _collect_impl(
+        self,
+        policy_states,
+        value_normalizer,
+        value_normalizer_state,
+        user_state,
+        rollout_state: RolloutState,
+        metrics: TrainingMetrics,
+        user_start_rollouts_hook: Callable,
+        user_finish_rollouts_hook: Callable,
+        user_metrics_hook: Callable,
+        shard_info: Optional[Tuple[str, int]] = None,
+    ):
+        axis_name = shard_info[0] if shard_info else None
 
         rollout_state, user_state = user_start_rollouts_hook(
             rollout_state, user_state)
@@ -890,6 +1222,7 @@ class RolloutManager:
                     step_idx,
                     self._policy_to_train(obs, reorder_state),
                     True,
+                    axis_name=axis_name,
                 )
                 cb_state = dict(cb_state, obs_stats=obs_stats)
                 return cb_state, emit
@@ -934,6 +1267,7 @@ class RolloutManager:
                 post_step_cb,
                 cb_state,
                 start_step_idx=bptt_chunk * self._num_bptt_steps,
+                shard_info=shard_info,
                 sample_actions=True,
                 return_debug=False,
             )
@@ -953,26 +1287,28 @@ class RolloutManager:
             jnp.arange(self._num_bptt_chunks))
         # store leaves: [C, T/C, P, B, ...]; rnn_start_states: [C, P, B, ...]
 
+        env_returns_metric = cb_state["env_returns_metric"]
+        if axis_name is not None:
+            env_returns_metric = env_returns_metric.merge_across(axis_name)
         metrics = metrics.update_metrics({
-            "Env Returns": cb_state["env_returns_metric"],
+            "Env Returns": env_returns_metric,
         })
 
         with profile("Bootstrap Values"):
             bootstrap_values = self._bootstrap_values(
-                policy_states, train_state_mgr.train_states, rollout_state)
+                policy_states, rollout_state)
 
         with profile("Finalize Rollouts"):
             rollout_data, metrics, user_state = self._finalize_rollouts(
-                train_state_mgr.train_states, store, rnn_start_states,
-                bootstrap_values, metrics, user_state,
-                user_finish_rollouts_hook, user_metrics_hook)
+                value_normalizer, value_normalizer_state, store,
+                rnn_start_states, bootstrap_values, metrics, user_state,
+                user_finish_rollouts_hook, user_metrics_hook,
+                axis_name=axis_name)
 
-        train_state_mgr = train_state_mgr.replace(user_state=user_state)
-
-        return (train_state_mgr, rollout_state, rollout_data,
+        return (user_state, rollout_state, rollout_data,
                 cb_state["obs_stats"], metrics)
 
-    def _bootstrap_values(self, policy_states, train_states, rollout_state):
+    def _bootstrap_values(self, policy_states, rollout_state):
         rnn_states, obs = self._sim_to_train(
             (rollout_state.rnn_states, rollout_state.cur_obs),
             rollout_state.reorder_state)
@@ -995,22 +1331,23 @@ class RolloutManager:
 
         return critic_fn(train_policy_states, rnn_states, obs)
 
-    def _finalize_rollouts(self, train_states, rollouts, rnn_start_states,
+    def _finalize_rollouts(self, value_normalizer, value_normalizer_state,
+                           rollouts, rnn_start_states,
                            bootstrap_values, metrics, user_state,
-                           user_finish_rollouts_hook, user_metrics_hook):
-        if train_states.value_normalizer is None:
+                           user_finish_rollouts_hook, user_metrics_hook,
+                           axis_name=None):
+        if value_normalizer is None:
             unnormalized_values = rollouts["values"]
             unnormalized_bootstrap = bootstrap_values
         else:
-            def invert(train_state, v):
-                return train_state.value_normalizer.invert(
-                    train_state.value_normalizer_state, v)
+            def invert(vn_state, v):
+                return value_normalizer.invert(vn_state, v)
 
             unnormalized_values = jax.vmap(
                 invert, in_axes=(0, 2), out_axes=2)(
-                    train_states, rollouts["values"])
+                    value_normalizer_state, rollouts["values"])
             unnormalized_bootstrap = jax.vmap(invert)(
-                train_states, bootstrap_values)
+                value_normalizer_state, bootstrap_values)
 
         rollouts, user_state = user_finish_rollouts_hook(
             rollouts, bootstrap_values, unnormalized_values,
@@ -1081,9 +1418,10 @@ class RolloutManager:
             "Values": reorder_seq_data(unnormalized_values),
             "Est Returns": rollouts["returns"],
             "Bootstrap Values": unnormalized_bootstrap,
-        })
+        }, axis_name=axis_name)
         if self._use_advantages:
-            metrics = metrics.record({"Advantages": rollouts["advantages"]})
+            metrics = metrics.record({"Advantages": rollouts["advantages"]},
+                                     axis_name=axis_name)
 
         metrics = user_metrics_hook(metrics, rollouts, user_state)
 
