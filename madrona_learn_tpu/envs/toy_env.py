@@ -55,26 +55,31 @@ _MOVES = np.array(
     [[0, 0], [0, 1], [0, -1], [1, 0], [-1, 0]], dtype=np.int32)
 
 
-def _hash_u32(seed, a, b, salt):
-    """Counter-based per-row integer hash (xxhash-style avalanche).
+_SALTS_POS = np.uint32([[0x27D4EB2F, 0x165667B1]])
+_SALTS_TGT = np.uint32([[0x85EBCA77, 0xC2B2AE3D]])
 
-    A stateless function of (seed, row id, tick, salt), so it is
+
+def _hash_draw2(base, salts, grid_size):
+    """Two per-row pseudo-random ints in [0, grid) from a base hash.
+
+    A stateless function of (base[B,1], salt[1,2]), so it is
     SLICE-EQUIVARIANT: row i of a batch-wide evaluation equals the same
     row evaluated inside any contiguous slice — the property the manual
     collect region needs from a data-parallel sim (a single batch PRNG
     key would draw different values per slice shape). Toy-env-grade
-    statistical quality.
+    statistical quality, tuned for the rollout hot loop: one shared
+    multiply-xor chain, salts broadcast over the last axis (no
+    concatenate), and a multiply-shift range map instead of an integer
+    modulo (TPU has no fast int division). Costs ~9% of headline e2e if
+    written carelessly (round-5 A/B: the first version with 4 separate
+    hash chains + %% + concats read 13.08M vs 14.44M env-steps/s).
     """
-    h = (jnp.uint32(seed)
-         ^ (a.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
-         ^ (b.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
-         ^ jnp.uint32(salt) * jnp.uint32(0xC2B2AE3D))
+    h = base ^ jnp.asarray(salts)  # [B, 2]
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x2C1B3C6D)
-    h = h ^ (h >> 12)
-    h = h * jnp.uint32(0x297A2D39)
-    h = h ^ (h >> 15)
-    return h
+    h = h ^ (h >> 13)
+    # Multiply-shift onto [0, grid): top 16 hash bits scaled down.
+    return (((h >> 16) * jnp.uint32(grid_size)) >> 16).astype(jnp.int32)
 
 
 def make_toy_env(cfg: ToyEnvConfig):
@@ -137,13 +142,12 @@ def make_toy_env(cfg: ToyEnvConfig):
 
         # Respawn finished agents at fresh pseudo-random positions: a
         # stateless hash of (row id, tick) — per-row independent, so the
-        # step slices cleanly over the batch (see _hash_u32).
-        def draw(salt):
-            return (_hash_u32(cfg.seed, rid, tick, salt)
-                    % jnp.uint32(cfg.grid_size)).astype(jnp.int32)
-
-        respawn_pos = jnp.concatenate([draw(1), draw(2)], axis=-1)
-        respawn_tgt = jnp.concatenate([draw(3), draw(4)], axis=-1)
+        # step slices cleanly over the batch (see _hash_draw2).
+        base = (jnp.uint32(cfg.seed)
+                ^ (rid.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+                ^ (tick.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)))
+        respawn_pos = _hash_draw2(base, _SALTS_POS, cfg.grid_size)
+        respawn_tgt = _hash_draw2(base, _SALTS_TGT, cfg.grid_size)
 
         pos = jnp.where(dones, respawn_pos, new_pos)
         target = jnp.where(dones, respawn_tgt, target)

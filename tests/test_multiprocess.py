@@ -79,7 +79,10 @@ from madrona_learn_tpu.parallel import make_mesh, shard_training_manager
 mesh_cfg = mlt.MeshConfig(data=4, policy=2)
 mesh = make_mesh(mesh_cfg, jax.devices())
 
-num_worlds = 32
+# 64 worlds (sim batch 128): the shard-major matchmaking layout divides at
+# data=4 (past matches/shard 4 %% num_train 4 == 0), so the manual COLLECT
+# region engages across the 2 processes — asserted below.
+num_worlds = 64
 actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
 sim_fns = make_duel_env(ToyEnvConfig(
     num_worlds=num_worlds, episode_len=4, num_teams=2, team_size=1, seed=0))
@@ -119,6 +122,12 @@ cfg = mlt.TrainConfig(
 mgr = mlt.init_training(None, cfg, sim_fns, policy,
                         init_sim_ctrl=jnp.zeros((1,), jnp.int32))
 mgr = shard_training_manager(mgr, mesh)
+
+from madrona_learn_tpu.rollouts import RolloutManager
+assert RolloutManager(
+    mgr.cfg, mgr.rollout,
+    mgr.state.policy_states)._manual_collect_enabled(mgr.rollout), (
+    "manual collect region must engage in the multiprocess run")
 
 update = jax.jit(lambda m: m.update_iter(), donate_argnums=0)
 mgr = update(mgr)
