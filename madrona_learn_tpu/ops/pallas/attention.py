@@ -206,6 +206,15 @@ def _mha_flash_kernel(scale, valid_len, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _mha_flash_impl(q, k, v, valid_len, interpret, return_lse=False):
+    # The [n, s_pad] f32 lse output is computed and written even when the
+    # caller discards it (return_lse=False, the inference/primal path):
+    # XLA cannot DCE a pallas_call output, and splitting two kernel
+    # variants to gate it is not warranted — the extra write is ~1/(2D)
+    # of the output traffic (D=32: ~1.6%), and the round-4 constant-token
+    # forward sweep that set the >256 routing (flash fwd parity with XLA
+    # within process noise at S>=512 — BASELINE.md) was measured WITH
+    # this write, so its cost is already priced into the routing
+    # decision.
     B, S, H, D = q.shape
     scale = 1.0 / (D ** 0.5)
     if valid_len is None:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
@@ -524,6 +525,7 @@ def rollout_loop(
     cb_state: Any,
     start_step_idx: Union[int, jax.Array] = 0,
     shard_info: Optional[Tuple[str, int]] = None,
+    chunkwise_rnn: bool = False,
     **policy_kwargs,
 ):
     """Scan ``num_steps`` sim steps.
@@ -546,9 +548,22 @@ def rollout_loop(
     Key derivation then reproduces the global program bit-for-bit — split
     into the GLOBAL chunk/shard counts and take this shard's slice — so
     manual and GSPMD collects sample identical actions and matchups.
+
+    ``chunkwise_rnn=True`` (complex matchmaking only) keeps the RNN state
+    resident in POLICY-CHUNK order across steps instead of round-tripping
+    it through sim order every step: resets apply on a gathered chunk-
+    order dones mask, and the old→new chunk remap after matchmaking is
+    ONE composed gather (to_sim(old)∘to_policy(new) on the index tables)
+    — replacing a full [sim_batch, rnn] scatter + gather pair per step
+    (the #2 sink of the round-5 PBT attribution). Values are bit-identical
+    (gathers are exact); the carry's ``rnn_states`` holds the CHUNK layout
+    inside the loop (converted at entry/exit), so callbacks that read
+    ``rollout_state.rnn_states`` mid-loop (eval's step_cb) must leave
+    this off.
     """
     cfg = rollout_state.cfg
     shard_axis, num_shards = shard_info if shard_info else (None, 1)
+    chunkwise_rnn = chunkwise_rnn and cfg.pbt.complex_matchmaking
 
     if shard_axis is None:
         # Multi-device mesh: the per-step per-chunk weight gather must read
@@ -577,6 +592,39 @@ def rollout_loop(
         )
 
     rnn_reset_fn = policy_states.rnn_reset_fn
+
+    def chunk_remap(old_rs, new_rs, data):
+        """Gather old-chunk-layout data directly into the new chunk layout.
+
+        Composition on the index tables: new slot (b, c) wants sim row
+        ``new.to_policy_idxs[b, c]``, which lives at old flat slot
+        ``old.to_sim_idxs[that row]``. Sentinel rows (fully-empty chunks)
+        resolve by clip, same as the two-step path. Stays shard-local for
+        sharded layouts (vmapped over the explicit shard axis)."""
+        D = new_rs.data_shards
+        if D == 1:
+            cidx = old_rs.to_sim_idxs.at[new_rs.to_policy_idxs].get(
+                mode="clip")  # [B, C] into the old flat layout
+            B, C = cidx.shape
+
+            def txfm(x):
+                flat = x.reshape(B * C, *x.shape[2:])
+                return flat.at[cidx.reshape(-1)].get(mode="clip").reshape(
+                    B, C, *x.shape[2:])
+        else:
+            cidx = jax.vmap(
+                lambda ts, tp: ts.at[tp].get(mode="clip")
+            )(old_rs.to_sim_idxs, new_rs.to_policy_idxs)  # [D, B_l, C]
+            _, B_l, C = cidx.shape
+
+            def txfm(x):
+                xb = x.reshape(D, B_l * C, *x.shape[2:])
+                out = jax.vmap(
+                    lambda blk, ci: blk.at[ci.reshape(-1)].get(mode="clip")
+                )(xb, cidx)  # [D, B_l*C, ...]
+                return out.reshape(D * B_l, C, *x.shape[2:])
+
+        return jax.tree.map(txfm, data)
 
     def reorder_policy_states(assignments, reorder_state):
         if not cfg.pbt.complex_matchmaking:
@@ -620,8 +668,13 @@ def rollout_loop(
                 chunk_policy_states = reorder_policy_states(
                     policy_assignments, reorder_state)
             with profile("Reorder To Policy"):
-                chunk_rnn_states, policy_obs = reorder_state.to_policy(
-                    (rnn_states, sim_obs))
+                if chunkwise_rnn:
+                    # RNN carry is already in this step's chunk layout.
+                    chunk_rnn_states = rnn_states
+                    policy_obs = reorder_state.to_policy(sim_obs)
+                else:
+                    chunk_rnn_states, policy_obs = reorder_state.to_policy(
+                        (rnn_states, sim_obs))
 
             with profile("Obs Preprocess"):
                 preprocessed_obs = obs_preprocess_fn(
@@ -636,10 +689,13 @@ def rollout_loop(
                 step_idx, policy_obs, preprocessed_obs, policy_out,
                 reorder_state, cb_state)
 
-            # RNN state lives in (stable) sim order across steps; policy-chunk
-            # order shifts whenever assignments change.
             with profile("Reorder To Sim"):
-                rnn_states = reorder_state.to_sim(chunk_rnn_states)
+                if chunkwise_rnn:
+                    rnn_states = chunk_rnn_states
+                else:
+                    # RNN state lives in (stable) sim order across steps;
+                    # policy-chunk order shifts when assignments change.
+                    rnn_states = reorder_state.to_sim(chunk_rnn_states)
 
         with profile("Rollout Step"):
             step_input = frozen_dict.freeze({
@@ -673,7 +729,11 @@ def rollout_loop(
                     rewards + cfg.reward_gamma * rollout_state.env_returns
                 ).astype(cfg.reward_dtype)
 
-            rnn_states = rnn_reset_fn(rnn_states, dones)
+            if chunkwise_rnn:
+                rnn_states = rnn_reset_fn(
+                    rnn_states, reorder_state.to_policy(dones))
+            else:
+                rnn_states = rnn_reset_fn(rnn_states, dones)
 
             episode_results = step_output.get("pbt", FrozenDict()).get(
                 "episode_results", None)
@@ -697,8 +757,14 @@ def rollout_loop(
                     prng_key = keys[0]
 
             with profile("Compute Reorder State"):
-                reorder_state = _compute_reorder_state(
+                new_reorder_state = _compute_reorder_state(
                     policy_assignments, cfg)
+
+            if chunkwise_rnn:
+                with profile("RNN Chunk Remap"):
+                    rnn_states = chunk_remap(
+                        reorder_state, new_reorder_state, rnn_states)
+            reorder_state = new_reorder_state
 
             rollout_state = rollout_state.update(
                 prng_key=prng_key,
@@ -719,11 +785,21 @@ def rollout_loop(
 
         return (rollout_state, cb_state), (inference_emit, step_emit)
 
+    if chunkwise_rnn:
+        rollout_state = rollout_state.update(
+            rnn_states=rollout_state.reorder_state.to_policy(
+                rollout_state.rnn_states))
+
     (rollout_state, cb_state), emits = lax.scan(
         step,
         (rollout_state, cb_state),
         start_step_idx + jnp.arange(num_steps),
         unroll=_ROLLOUT_SCAN_UNROLL)
+
+    if chunkwise_rnn:
+        rollout_state = rollout_state.update(
+            rnn_states=rollout_state.reorder_state.to_sim(
+                rollout_state.rnn_states))
 
     return rollout_state, cb_state, emits
 
@@ -1268,6 +1344,16 @@ class RolloutManager:
                 cb_state,
                 start_step_idx=bptt_chunk * self._num_bptt_steps,
                 shard_info=shard_info,
+                # Chunk-order-resident RNN carry: bit-identical, but
+                # measured 3.6% SLOWER e2e at config #4 on v5e (5.02 vs
+                # 5.20M agent-steps/s — the composed remap gather on the
+                # padded [num_chunks*C] layout costs more than the
+                # to_sim/to_policy pair XLA fuses into the policy chain;
+                # same pathology as the fused policy step). Default off;
+                # opt in with MADRONA_LEARN_TPU_CHUNKWISE_RNN=1 for
+                # shapes where padding is slim. See docs/kernels.md.
+                chunkwise_rnn=(os.environ.get(
+                    "MADRONA_LEARN_TPU_CHUNKWISE_RNN") == "1"),
                 sample_actions=True,
                 return_debug=False,
             )

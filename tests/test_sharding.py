@@ -1367,3 +1367,35 @@ def test_manual_collect_gate_conditions(eight_devices):
     assert not RolloutManager(
         mgr.cfg, rollout,
         mgr.state.policy_states)._manual_collect_enabled(rollout)
+
+
+def test_chunkwise_rnn_carry_matches_default(eight_devices, monkeypatch):
+    """The chunk-order-resident RNN carry (rollout_loop chunkwise_rnn,
+    opt-in via MADRONA_LEARN_TPU_CHUNKWISE_RNN=1 — measured 3.6% slower
+    e2e at config #4, kept as a tested capability) must be BIT-IDENTICAL
+    to the default sim-order carry: same update, same losses, same
+    params, on the sharded manual-collect config."""
+    from test_pbt_e2e import build_training_mgr
+
+    update = jax.jit(lambda m: m.update_iter())
+    outs = {}
+    for name, flag in (("default", None), ("chunkwise", "1")):
+        if flag is None:
+            monkeypatch.delenv("MADRONA_LEARN_TPU_CHUNKWISE_RNN",
+                               raising=False)
+        else:
+            monkeypatch.setenv("MADRONA_LEARN_TPU_CHUNKWISE_RNN", flag)
+        mesh_cfg = mlt.MeshConfig(data=2, policy=2)
+        mgr = build_training_mgr(seed=37, mesh=mesh_cfg)
+        mesh = make_mesh(mesh_cfg, eight_devices[:4])
+        outs[name] = update(shard_training_manager(mgr, mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(outs["default"].metrics.metrics["Loss"].mean),
+        np.asarray(outs["chunkwise"].metrics.metrics["Loss"].mean),
+        rtol=0, atol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        jax.device_get(outs["default"].state.policy_states.params),
+        jax.device_get(outs["chunkwise"].state.policy_states.params))
