@@ -52,18 +52,26 @@ _scrub_state = None  # (real_stderr_fd, log_path, forwarded_offset)
 
 
 def _install_stderr_scrub():
+    """Best-effort: an unwritable log path must not kill the bench before
+    any JSON record is emitted (the driver parses the last JSON line even
+    from failed runs) — fall back to unscrubbed stderr instead."""
     global _scrub_state
     if _scrub_state is not None:
         return
-    real_fd = os.dup(2)
-    log_path = os.environ.get(
-        "MADRONA_LEARN_TPU_BENCH_STDERR_LOG",
-        "/tmp/madrona_bench_stderr.log")
-    log_fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
-    os.dup2(log_fd, 2)
-    os.close(log_fd)
-    # Python-level stderr follows the redirect (line-buffered).
-    sys.stderr = os.fdopen(os.dup(2), "w", buffering=1)
+    try:
+        real_fd = os.dup(2)
+        log_path = os.environ.get(
+            "MADRONA_LEARN_TPU_BENCH_STDERR_LOG",
+            "/tmp/madrona_bench_stderr.log")
+        log_fd = os.open(
+            log_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        os.dup2(log_fd, 2)
+        os.close(log_fd)
+        # Python-level stderr follows the redirect (line-buffered).
+        sys.stderr = os.fdopen(os.dup(2), "w", buffering=1)
+    except OSError as err:
+        print(f"bench: stderr scrub disabled ({err})", file=sys.stderr)
+        return
     _scrub_state = [real_fd, log_path, 0]
     atexit.register(_forward_scrubbed_stderr)
 

@@ -103,20 +103,41 @@ class ObservationsPreprocess:
         out = {}
         for ob_name in keys:
             op = self._get_ops(ob_name).update_obs_stats
+            # Back-compat: custom KeyOps written to the pre-round-5 4-arg
+            # contract keep working on single-device / GSPMD paths; inside
+            # the manual collect region (axis_name set) shard-local stats
+            # would silently skew the normalizer, so that combination is
+            # a hard error, not a fallback.
+            takes_axis = True
+            try:
+                import inspect
+                params = inspect.signature(op).parameters
+                takes_axis = ("axis_name" in params or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in params.values()))
+            except (TypeError, ValueError):
+                pass  # builtins/partials without signatures: assume new
+            if not takes_axis and axis_name is not None:
+                raise TypeError(
+                    f"custom update_obs_stats for obs key '{ob_name}' does "
+                    f"not accept axis_name, but the manual collect region "
+                    f"needs cross-shard batch moments (pmean over "
+                    f"'{axis_name}'). Add axis_name=None to its signature "
+                    f"(reduce with jax.lax.pmean/psum when set) or disable "
+                    f"the region with MeshConfig(manual_collect=False).")
+
+            def call(s, c, o, op=op, takes_axis=takes_axis):
+                if takes_axis:
+                    return op(s, c, num_prev_updates, o, axis_name=axis_name)
+                return op(s, c, num_prev_updates, o)
+
             args = (states[ob_name], cur_obs_stats[ob_name], obs[ob_name])
             if vmap:
                 axes = tuple(0 if a is not None else None for a in args)
-                if any(ax == 0 for ax in axes):
-                    fn = jax.vmap(
-                        lambda s, c, o: op(s, c, num_prev_updates, o,
-                                           axis_name=axis_name),
-                        in_axes=axes)
-                else:
-                    fn = lambda s, c, o: op(s, c, num_prev_updates, o,
-                                            axis_name=axis_name)
+                fn = jax.vmap(call, in_axes=axes) if any(
+                    ax == 0 for ax in axes) else call
             else:
-                fn = lambda s, c, o: op(s, c, num_prev_updates, o,
-                                        axis_name=axis_name)
+                fn = call
             out[ob_name] = fn(*args)
         return FrozenDict(out)
 

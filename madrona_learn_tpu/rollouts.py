@@ -278,24 +278,22 @@ def _rollout_cfg_shard_view(cfg: RolloutConfig, num_shards: int):
     if D <= 1:
         return cfg
     assert cfg.sim_batch_size % D == 0 and cfg.num_worlds % D == 0
-    if cfg.pbt.complex_matchmaking:
-        assert cfg.data_shards == D and cfg.pbt.num_data_shards == D, (
-            "manual collect requires the shard-major matchmaking layout "
-            "at the mesh's data axis (RolloutConfig.setup auto-enables it "
-            "when the play-mode slices divide)")
-        num_chunks = cfg.num_policy_chunks // D
-    else:
-        # Simple path (P == 1): one chunk spanning the whole local batch.
-        num_chunks = cfg.num_policy_chunks
-    chunk = (cfg.policy_chunk_size // D
-             if not cfg.pbt.complex_matchmaking else cfg.policy_chunk_size)
+    # D > 1 implies the complex shard-major layout: _manual_collect_enabled
+    # keeps the simple path (one whole-batch chunk, single sampling key —
+    # not slice-equivariant) on GSPMD collect.
+    assert cfg.pbt.complex_matchmaking, (
+        "per-shard views exist only for shard-major complex matchmaking")
+    assert cfg.data_shards == D and cfg.pbt.num_data_shards == D, (
+        "manual collect requires the shard-major matchmaking layout "
+        "at the mesh's data axis (RolloutConfig.setup auto-enables it "
+        "when the play-mode slices divide)")
+    num_chunks = cfg.num_policy_chunks // D
     return dataclasses.replace(
         cfg,
         sim_batch_size=cfg.sim_batch_size // D,
         num_worlds=cfg.num_worlds // D,
-        policy_chunk_size=chunk,
         num_policy_chunks=num_chunks,
-        total_policy_batch_size=num_chunks * chunk,
+        total_policy_batch_size=num_chunks * cfg.policy_chunk_size,
         data_shards=1,
         pbt=cfg.pbt.shard_view(),
     )
@@ -891,7 +889,6 @@ class RolloutManager:
         # ppo.resolve_stratify's fallback warning to state the concrete
         # replication cost when stratification cannot engage on a
         # multi-chip mesh.
-        sim_batch = self._cfg.sim_batch_size
         obs_bytes_per_agent = sum(
             math.prod(leaf.shape[1:]) * leaf.dtype.itemsize
             for leaf in jax.tree.leaves(init_rollout_state.cur_obs))

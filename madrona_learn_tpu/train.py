@@ -239,20 +239,48 @@ def _manual_learn_enabled(cfg: TrainConfig) -> bool:
 
 
 def _warn_manual_learn_hooks(cfg: TrainConfig, user_hooks: TrainHooks):
-    """One-time heads-up for user hooks that predate the manual region."""
-    if not _manual_learn_enabled(cfg):
-        return
-    overridden = (type(user_hooks).optimize_metrics
-                  is not TrainHooks.optimize_metrics)
-    if overridden:
-        warnings.warn(
-            "manual_learn is active (multi-device mesh): your overridden "
-            "TrainHooks.optimize_metrics now runs inside a shard_map "
-            "region and receives only this data shard's slice of each "
-            "minibatch. Record cross-shard-consistent metrics with "
-            "metrics.record(..., axis_name=\"data\"), or disable the "
-            "manual region with MeshConfig(manual_learn=False).",
-            stacklevel=3)
+    """One-time heads-up for user hooks that predate the manual regions."""
+    mesh_cfg = cfg.mesh
+    multi = mesh_cfg is not None and mesh_cfg.num_devices > 1
+    if _manual_learn_enabled(cfg):
+        overridden = (type(user_hooks).optimize_metrics
+                      is not TrainHooks.optimize_metrics)
+        if overridden:
+            warnings.warn(
+                "manual_learn is active (multi-device mesh): your "
+                "overridden TrainHooks.optimize_metrics now runs inside a "
+                "shard_map region and receives only this data shard's "
+                "slice of each minibatch. Record cross-shard-consistent "
+                "metrics with metrics.record(..., axis_name=\"data\"), or "
+                "disable the manual region with "
+                "MeshConfig(manual_learn=False).",
+                stacklevel=3)
+    # The collect-region analog: its gate additionally depends on the sim
+    # (data_parallel) and layout divisibility, unknown at init — warn on
+    # the config-level preconditions so a hook author hears about the
+    # semantics change before a silent wrong-stitch (the region's
+    # out_specs claim replicated outputs; a hook computing batch-global
+    # state from its shard slice would return divergent values).
+    if (multi and getattr(mesh_cfg, "manual_collect", True)
+            and mesh_cfg.model == 1):
+        overridden_collect = [
+            name for name in
+            ("start_rollouts", "finish_rollouts", "rollout_metrics")
+            if getattr(type(user_hooks), name)
+            is not getattr(TrainHooks, name)]
+        if overridden_collect:
+            warnings.warn(
+                "manual_collect is enabled (the MeshConfig default) and "
+                f"this mesh can run the collect phase as a shard_map "
+                f"region over 'data': your overridden TrainHooks "
+                f"{overridden_collect} would then run per data shard on "
+                f"1/{mesh_cfg.data} batch slices, and their "
+                f"user_state/metrics outputs must be shard-invariant "
+                f"(reduce with metrics.record(..., axis_name=\"data\") / "
+                f"jax.lax collectives). Disable the region with "
+                f"MeshConfig(manual_collect=False) to keep whole-batch "
+                f"hook semantics.",
+                stacklevel=3)
 
 
 def _update_impl(

@@ -178,7 +178,7 @@ def main():
         scopes = load_hlo_scopes(args.hlo)
         agg, counts = scope_attribution(per_op, scopes)
         mapped = sum(v for k, v in agg.items()
-                     if k not in ("(unmapped)",))
+                     if k not in ("(unmapped)", "(no scope)"))
         print(f"\nnamed-scope attribution (HLO op_name join; "
               f"{100 * mapped / max(total, 1):.1f}% of device time mapped):")
         print(f"{'ms':>9}  {'share':>6}  {'ops':>5}  scope path")
