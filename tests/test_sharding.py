@@ -1178,21 +1178,25 @@ def test_manual_learn_pbt_matches_gspmd(eight_devices, normalize_values):
 # Manual collect region (round 5)
 # ---------------------------------------------------------------------------
 
-def test_manual_collect_matches_gspmd(eight_devices):
+@pytest.mark.parametrize("normalize_values", [False, True])
+def test_manual_collect_matches_gspmd(eight_devices, normalize_values):
     """Round 5: the collect phase as a manual shard_map region over
     ``data``. One full PBT update (duel env, shard-major matchmaking,
     data=2 x policy=2) under manual_collect must equal the GSPMD-collect
     comparator BIT-FOR-BIT: the region's PRNG derivation slices the global
     key streams (rollout_loop shard_info), matchmaking rerolls use the
     shard-major layout's own per-shard keys, and the sim is
-    slice-equivariant."""
+    slice-equivariant. The normalize_values variant exercises the value-
+    normalizer state entering the region (finalize's invert runs on the
+    gathered-per-policy EMA state)."""
     from madrona_learn_tpu.rollouts import RolloutManager
 
     update = jax.jit(lambda m: m.update_iter())
     outs = {}
     for name, mc in (("manual", True), ("gspmd", False)):
         mesh_cfg = mlt.MeshConfig(data=2, policy=2, manual_collect=mc)
-        mgr = build_training_mgr(seed=23, mesh=mesh_cfg)
+        mgr = build_training_mgr(seed=23, mesh=mesh_cfg,
+                                 normalize_values=normalize_values)
         gate = RolloutManager(
             mgr.cfg, mgr.rollout,
             mgr.state.policy_states)._manual_collect_enabled(mgr.rollout)
