@@ -172,6 +172,18 @@ class RecurrentBackboneEncoder(nn.Module):
     net: nn.Module
     rnn: nn.Module
     use_fused_step: bool = False
+    # Rematerialize the trunk net in the update-pass backward instead of
+    # stashing its intermediate activations (jax.checkpoint via flax's
+    # lifted remat; recomputes the net forward during the backward —
+    # trades cheap MXU work for HBM stash traffic). E2e A/B on v5e at
+    # the headline shape (256-wide 2-layer MLP): remat LOSES ~4%
+    # (14.02-14.15M vs the 14.76M no-remat baseline, same session) — the
+    # trunk's stash is small at this width and the recompute breaks the
+    # backward fusion chain. Kept as a knob for activation-heavy trunks
+    # (wide/deep MLPs, large entity encoders) where the stash dominates;
+    # numerics are unchanged either way (update == no-remat update,
+    # asserted on CPU).
+    remat_trunk_sequence: bool = False
 
     @nn.nowrap
     def init_recurrent_state(self, N):
@@ -249,8 +261,13 @@ class RecurrentBackboneEncoder(nn.Module):
         # Features are computed over the flat [T*N] batch (one big matmul),
         # then reshaped to [T, N] for the recurrent scan.
         T, N = sequence_ends.shape[0:2]
-        features_seq = _merge_time(
-            self.net(flattened_inputs, train=train), T, N)
+        if self.remat_trunk_sequence and not self.is_initializing():
+            net_out = nn.remat(
+                lambda mdl, x: mdl(x, train=train))(self.net,
+                                                    flattened_inputs)
+        else:
+            net_out = self.net(flattened_inputs, train=train)
+        features_seq = _merge_time(net_out, T, N)
 
         with profile("rnn.fwd_sequence"):
             rnn_out = self.rnn.sequence(
