@@ -1403,3 +1403,77 @@ def test_chunkwise_rnn_carry_matches_default(eight_devices, monkeypatch):
             np.asarray(a), np.asarray(b)),
         jax.device_get(outs["default"].state.policy_states.params),
         jax.device_get(outs["chunkwise"].state.policy_states.params))
+
+
+@pytest.mark.parametrize("critic", ["dreamer", "hlgauss"])
+def test_manual_collect_distributional_critics(eight_devices, critic):
+    """The manual collect region serves distributional critics too: the
+    bootstrap/value estimates inside the region decode dist.mean(), and
+    the GAE runs on the decoded values. Manual vs GSPMD must stay
+    bit-identical (same PRNG slicing; the decode is pure math)."""
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_duel_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneEncoder, BackboneShared, DreamerV3Critic,
+        DenseLayerDiscreteActor, DictActor, HLGaussCritic, MLP)
+    from madrona_learn_tpu.rollouts import RolloutManager
+
+    num_worlds = 32
+    dtype = jnp.float32
+    actions = {"move": mlt.DiscreteActionsConfig(actions_num_buckets=[5])}
+
+    def build(mesh_cfg):
+        sim_fns = make_duel_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=8, num_teams=2, team_size=1,
+            seed=43))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["time"], obs["acc"]], axis=-1),
+                encoder=BackboneEncoder(
+                    net=MLP(num_channels=32, num_layers=1, dtype=dtype))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=(DreamerV3Critic(dtype=dtype) if critic == "dreamer"
+                    else HLGaussCritic.create(dtype=dtype)))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype),
+            get_episode_scores=lambda er: (
+                jnp.where(er[0] == 0, 1.0, jnp.where(er[0] == 1, 0.0, 0.5)),
+                jnp.where(er[0] == 0, 0.0, jnp.where(er[0] == 1, 1.0, 0.5))))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=2, num_updates=1,
+            actions=actions, steps_per_update=8, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=43,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=10,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            pbt=mlt.PBTConfig(
+                num_teams=2, team_size=1, num_train_policies=4,
+                num_past_policies=2, self_play_portion=0.25,
+                cross_play_portion=0.5, past_play_portion=0.25),
+            dreamer_v3_critic=(critic == "dreamer"),
+            hlgauss_critic=(critic == "hlgauss"),
+            mesh=mesh_cfg)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    update = jax.jit(lambda m: m.update_iter())
+    outs = {}
+    for name, mc in (("manual", True), ("gspmd", False)):
+        mesh_cfg = mlt.MeshConfig(data=2, policy=2, manual_collect=mc)
+        mgr = build(mesh_cfg)
+        if name == "manual":
+            assert RolloutManager(
+                mgr.cfg, mgr.rollout,
+                mgr.state.policy_states)._manual_collect_enabled(mgr.rollout)
+        mesh = make_mesh(mesh_cfg, eight_devices[:4])
+        outs[name] = update(shard_training_manager(mgr, mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(outs["manual"].metrics.metrics["Loss"].mean),
+        np.asarray(outs["gspmd"].metrics.metrics["Loss"].mean),
+        rtol=1e-6, atol=1e-7)
