@@ -151,10 +151,41 @@ class MeshConfig:
     # batch does not slice cleanly
     # (rollouts.RolloutManager._manual_collect_enabled).
     manual_collect: bool = True
+    # ZeRO-1 style optimizer-state sharding inside the manual learn region
+    # (round 5): the Adam moments (mu/nu — 2/3 of optimizer memory, 2x the
+    # param bytes in fp32) live sharded over the region's replica axes
+    # (``data`` x ``model``) instead of replicated. Each replica reduces
+    # its gradient chunk (psum_scatter — the same bytes the replicated
+    # path's gradient pmean already moved), runs the clip+Adam math on the
+    # chunk, and all_gathers the assembled update; the math is
+    # element-for-element identical (equality-tested against the
+    # replicated path, tests/test_sharding.py). Lifts the learn-phase
+    # per-device memory ceiling of the TP fold from params + 2x moments
+    # replicated to params + 2x/R: at reference model scales irrelevant,
+    # for wide models it is the memory-level learn-phase parallelism the
+    # fold alone does not provide. Opt-in; requires the manual learn
+    # region (it is a no-op under GSPMD or on single-device meshes).
+    # NOTE the optimizer-state checkpoint layout changes with this flag
+    # (moments store as [R, ceil(size/R)] chunks), so checkpoints do not
+    # roundtrip across a flag flip.
+    zero_opt_state: bool = False
 
     @property
     def num_devices(self) -> int:
         return self.data * self.policy * self.model
+
+    @property
+    def zero_rows(self) -> int:
+        """Replica-group size the Adam moments shard over (1 = disabled).
+
+        Active only when the manual learn region runs (same gate as
+        train._manual_learn_enabled) and there is more than one replica of
+        each policy shard (data * model > 1).
+        """
+        if not (self.zero_opt_state and self.manual_learn
+                and self.num_devices > 1 and self.data * self.model > 1):
+            return 1
+        return self.data * self.model
 
 
 @dataclass(frozen=True)

@@ -176,6 +176,25 @@ def training_manager_shardings(training_mgr, mesh: Mesh):
         rollout, mesh, {sim_batch, num_worlds}, DATA_AXIS)
     state_shardings = _shard_by_leading_axis(
         state, mesh, policy_counts, POLICY_AXIS)
+
+    mesh_cfg = getattr(rollout.cfg, "mesh", None)
+    if mesh_cfg is not None and mesh_cfg.zero_rows > 1:
+        # ZeRO optimizer-state sharding (MeshConfig.zero_opt_state): the
+        # chunked Adam moment leaves [P, R, chunk] additionally shard
+        # their chunk axis over the learn region's replica axes, so the
+        # 1/R per-device moment memory holds from initial placement, not
+        # just after the first update's out_specs pin it.
+        from ..train_state import map_adam_moments
+
+        row_axes = ((DATA_AXIS, MODEL_AXIS) if mesh_cfg.model > 1
+                    else DATA_AXIS)
+        zero_sharding = NamedSharding(mesh, P(POLICY_AXIS, row_axes))
+        state_shardings = state_shardings.replace(
+            train_states=state_shardings.train_states.replace(
+                opt_state=map_adam_moments(
+                    state_shardings.train_states.opt_state,
+                    lambda sub: jax.tree.map(
+                        lambda _: zero_sharding, sub))))
     metrics_shardings = jax.tree.map(
         lambda _: NamedSharding(mesh, P()), training_mgr.metrics)
 

@@ -235,6 +235,75 @@ def _scaler_value_and_grad_manual(scaler, loss_fn, params, data_axis):
     return new_scaler, is_finite, aux, grads
 
 
+def _zero_sharded_opt_update(hp, grads, opt_state, params, data_axis,
+                             zero_rows):
+    """ZeRO-1 optimizer step: Adam moments sharded over the replica axes.
+
+    Active inside the manual learn region when
+    ``MeshConfig.zero_opt_state`` (docs/scaling.md "ZeRO optimizer-state
+    sharding"). ``opt_state`` is the (clip, adam) chain state with mu/nu
+    leaves in the chunked per-device layout ``[1, ceil(size/R)]``
+    (train_state.chunk_adam_moments; the sharded axis is size 1 inside the
+    region). Per leaf, each replica obtains its chunk of the GLOBAL mean
+    gradient via psum_scatter — which both performs the reduction the
+    replicated path's pmean did and distributes chunks in the exact order
+    the closing all_gather reassembles, so no explicit axis-index
+    arithmetic can drift out of sync. (When ``grads`` already are global —
+    the fp16 DynamicScale path pmeans inside its unscale step — the
+    psum_scatter of R identical copies divided by R degenerates to an
+    order-safe slice.) The global-norm clip uses the norm assembled across
+    chunks (bitwise-same rule as optax.clip_by_global_norm), Adam runs
+    elementwise on the chunk, and the assembled update is all_gathered.
+
+    Communication per step: reduce_scatter(P) + all_gather(P) — the same
+    bytes the replicated path's gradient pmean moves (a pmean IS
+    reduce_scatter + all_gather), so the budget is unchanged on the
+    non-scaler path. Per-device moment memory drops from 2x params to
+    2x/R. Padded tail entries see zero gradients, keep zero moments, and
+    never enter the assembled update's used prefix.
+    """
+    assert data_axis is not None
+    clip_state, adam_state = opt_state
+
+    def to_chunk(g):
+        flat = g.astype(jnp.float32).reshape(-1)
+        pad = (-flat.size) % zero_rows
+        if pad:
+            flat = jnp.pad(flat, (0, pad))
+        chunk = lax.psum_scatter(flat, data_axis, scatter_dimension=0,
+                                 tiled=True)
+        return chunk / zero_rows
+
+    grad_chunks = jax.tree.map(to_chunk, grads)
+
+    # Global-norm clip, exactly optax.clip_by_global_norm's rule with the
+    # norm assembled across this replica group's chunks.
+    sumsq = sum(jnp.sum(jnp.square(c)) for c in jax.tree.leaves(grad_chunks))
+    g_norm = jnp.sqrt(lax.psum(sumsq, data_axis))
+    trigger = g_norm < hp.max_grad_norm
+    clipped = jax.tree.map(
+        lambda c: lax.select(trigger, c, (c / g_norm) * hp.max_grad_norm),
+        grad_chunks)
+
+    # Adam on the local chunk only (same defaults as PPO.make_optimizer's
+    # scale_by_adam; the count scalar stays replicated).
+    local_state = adam_state._replace(
+        mu=jax.tree.map(lambda x: x[0], adam_state.mu),
+        nu=jax.tree.map(lambda x: x[0], adam_state.nu))
+    upd_chunks, new_local = optax.scale_by_adam().update(
+        clipped, local_state)
+    new_adam = new_local._replace(
+        mu=jax.tree.map(lambda x: x[None], new_local.mu),
+        nu=jax.tree.map(lambda x: x[None], new_local.nu))
+
+    def assemble(u, p):
+        full = lax.all_gather(u, data_axis, tiled=True)
+        return full[:p.size].reshape(p.shape)
+
+    param_updates = jax.tree.map(assemble, upd_chunks, params)
+    return param_updates, (clip_state, new_adam)
+
+
 def _ppo_update(
     cfg: TrainConfig,
     mb: FrozenDict,
@@ -422,6 +491,7 @@ def _ppo_update(
         params = policy_state.params
         scaler = train_state.scaler
         opt_state = train_state.opt_state
+        zero_rows = cfg.mesh.zero_rows if cfg.mesh is not None else 1
 
         if scaler is not None and data_axis is None:
             grad_fn = scaler.value_and_grad(loss_fn, has_aux=True)
@@ -432,7 +502,7 @@ def _ppo_update(
         else:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             aux, grads = grad_fn(params)
-            if data_axis is not None:
+            if data_axis is not None and zero_rows == 1:
                 # loss_fn's pmeans make the loss *value* global, but each
                 # shard's AD (check_vma=False transpose semantics) yields
                 # the gradient of its LOCAL minibatch-slice mean; the
@@ -441,12 +511,19 @@ def _ppo_update(
                 # through scale-invariant Adam, but it moves the
                 # max_grad_norm clipping threshold; caught by
                 # test_manual_dynamic_scale_matches_flax's flax oracle.)
+                # With zero_rows > 1 this pmean folds into the
+                # psum_scatter inside _zero_sharded_opt_update — the same
+                # reduction, scattered.
                 grads = jax.tree.map(
                     lambda g: lax.pmean(g, data_axis), grads)
 
         with jax.numpy_dtype_promotion("standard"):
-            param_updates, new_opt_state = train_state.tx.update(
-                grads, opt_state, params)
+            if zero_rows > 1:
+                param_updates, new_opt_state = _zero_sharded_opt_update(
+                    hp, grads, opt_state, params, data_axis, zero_rows)
+            else:
+                param_updates, new_opt_state = train_state.tx.update(
+                    grads, opt_state, params)
             # Apply the live per-policy learning rate (see module docstring).
             param_updates = jax.tree.map(
                 lambda u: -hp.lr * u, param_updates)

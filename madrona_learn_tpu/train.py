@@ -50,7 +50,7 @@ from .rollouts import (
     rollouts_reset,
 )
 from .parallel.mesh import DATA_AXIS, MODEL_AXIS, POLICY_AXIS, make_mesh
-from .train_state import TrainStateManager
+from .train_state import TrainStateManager, map_adam_moments
 from .utils.profile import profile
 
 
@@ -373,6 +373,20 @@ def _update_impl(
         spec = jax.sharding.PartitionSpec(POLICY_AXIS)
         data_spec = (jax.sharding.PartitionSpec(POLICY_AXIS, row_axes)
                      if rows_sharded else spec)
+        # ZeRO optimizer-state sharding: the Adam moment leaves enter and
+        # leave the region sharded over the replica axes (their chunked
+        # [P, R, chunk] layout's axis 1; train_state.chunk_adam_moments),
+        # everything else stays policy-sharded. The spec tree is built by
+        # tree-mapping over the live train_states (tree.map preserves the
+        # optax namedtuple containers, so map_adam_moments can retarget
+        # the mu/nu subtrees of the SPEC tree directly).
+        ts_spec = spec
+        if (cfg.mesh.zero_rows if cfg.mesh is not None else 1) > 1:
+            zero_spec = jax.sharding.PartitionSpec(POLICY_AXIS, row_axes)
+            ts_spec = jax.tree.map(lambda _: spec, train_states)
+            ts_spec = ts_spec.replace(opt_state=map_adam_moments(
+                ts_spec.opt_state,
+                lambda sub: jax.tree.map(lambda _: zero_spec, sub)))
         # check_vma=False: pallas_call inside shard_map has no vma
         # metadata on its out_shapes; data-axis invariance of every output
         # is established by the pmeans/psums in ppo._ppo_update and
@@ -380,8 +394,8 @@ def _update_impl(
         # (tests/test_sharding.py).
         mapped = jax.shard_map(
             one_policy, mesh=mesh,
-            in_specs=(spec, spec, data_spec, spec),
-            out_specs=spec,
+            in_specs=(spec, ts_spec, data_spec, spec),
+            out_specs=(spec, ts_spec, spec),
             check_vma=False)
         out = mapped(policy_states, train_states, rollout_data, metrics)
         if pad_p:

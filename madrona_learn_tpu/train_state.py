@@ -43,6 +43,61 @@ from .ops.ema import EMAEstimate, EMANormalizer
 from .policy import Policy
 
 
+def map_adam_moments(opt_state, fn):
+    """Apply ``fn`` to the mu/nu subtrees of every ScaleByAdamState.
+
+    Structure-preserving walk over an optax chain state (nested tuples /
+    optax namedtuple states). Used by the ZeRO optimizer-state sharding
+    (``MeshConfig.zero_opt_state``) to re-layout or spec-annotate the Adam
+    moments without disturbing the rest of the state. Also works on spec
+    pytrees produced by ``jax.tree.map`` over a real state (tree.map
+    preserves the namedtuple containers). The reference has no analog —
+    its optimizers are single-device (reference: train.py:144-146).
+    """
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(mu=fn(s.mu), nu=fn(s.nu))
+        if isinstance(s, tuple):
+            if hasattr(s, "_fields"):  # other namedtuple optax states
+                return type(s)(*(rec(x) for x in s))
+            return tuple(rec(x) for x in s)
+        return s
+
+    return rec(opt_state)
+
+
+def chunk_adam_moments(opt_state, zero_rows: int):
+    """Re-layout Adam mu/nu leaves to the ZeRO-sharded chunk layout.
+
+    Each param-shaped moment leaf becomes ``[zero_rows, ceil(size /
+    zero_rows)]`` (flattened, zero-padded): axis 0 is sharded over the
+    learn region's replica axes (``data`` x ``model``) so each device
+    stores 1/R of the moments (see ppo._zero_sharded_opt_update and
+    docs/scaling.md). Raises if the state contains no Adam moments to
+    shard (an optimizer this framework did not build).
+    """
+    found = []
+
+    def chunk_leaf(x):
+        flat = x.reshape(-1)
+        pad = (-flat.size) % zero_rows
+        if pad:
+            flat = jnp.pad(flat, (0, pad))
+        return flat.reshape(zero_rows, -1)
+
+    def chunk_tree(tree):
+        found.append(True)
+        return jax.tree.map(chunk_leaf, tree)
+
+    out = map_adam_moments(opt_state, chunk_tree)
+    if not found:
+        raise ValueError(
+            "zero_opt_state=True but the optimizer state holds no "
+            "ScaleByAdamState to shard; it only supports the "
+            "clip+scale_by_adam chain PPO.make_optimizer builds")
+    return out
+
+
 class MovingEpisodeScore(flax.struct.PyTreeNode):
     mean: jax.Array
     var: jax.Array
@@ -384,6 +439,12 @@ def _setup_train_state(cfg, algo, prng_key, policy_state, fake_policy_out):
         value_norm, value_norm_state = None, None
 
     opt_state = optimizer.init(policy_state.params)
+    zero_rows = cfg.mesh.zero_rows if cfg.mesh is not None else 1
+    if zero_rows > 1:
+        # ZeRO optimizer-state sharding: moments store in the chunked
+        # [R, ceil(size/R)] layout (sharded over data x model by the
+        # manual learn region's specs; train.py:learn_manual).
+        opt_state = chunk_adam_moments(opt_state, zero_rows)
 
     scaler = DynamicScale() if cfg.compute_dtype == jnp.float16 else None
 

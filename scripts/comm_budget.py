@@ -306,7 +306,8 @@ def build_manager(args):
             jnp.where(er[0] == 0, 1.0, jnp.where(er[0] == 1, 0.0, 0.5)),
             jnp.where(er[0] == 0, 0.0, jnp.where(er[0] == 1, 1.0, 0.5))))
 
-    mesh_cfg = mlt.MeshConfig(data=args.data, policy=args.policy)
+    mesh_cfg = mlt.MeshConfig(data=args.data, policy=args.policy,
+                              zero_opt_state=args.zero_opt_state)
     sim_batch = args.worlds * 2
     train_agents = int(sim_batch * 0.625) // args.train_policies
     num_minibatches = max(args.num_minibatches, 1)
@@ -369,6 +370,12 @@ def main():
     p.add_argument("--alt-single-chip-ms", type=float, default=None,
                    help="second measured compute time for the sensitivity "
                         "table (e.g. a fresh config-#4 measurement)")
+    p.add_argument("--zero-opt-state", action="store_true",
+                   help="enable ZeRO optimizer-state sharding "
+                        "(MeshConfig.zero_opt_state) to measure its "
+                        "communication delta: the gradient pmean becomes "
+                        "reduce_scatter + update all_gather — same bytes "
+                        "by construction (docs/scaling.md)")
     p.add_argument("--out", type=str, default="artifacts/COMM_BUDGET.json")
     p.add_argument("--hlo-out", type=str, default=None,
                    help="also dump the optimized HLO text here")
@@ -406,10 +413,17 @@ def main():
         kind, axis, phase = r["kind"], r["axis"], r["phase"]
         if axis == "data":
             g = tD
-            if kind == "all-reduce" and phase == "Learn":
+            param_sized = kind == "all-reduce" or (
+                args.zero_opt_state
+                and kind in ("all-gather", "reduce-scatter"))
+            if param_sized and phase == "Learn":
                 # Learn-phase psums reduce param-sized tensors (gradients,
                 # normalizer stats): global size is FIXED, independent of
-                # the data axis.
+                # the data axis. With --zero-opt-state the gradient pmean
+                # lowers to reduce-scatter + update all-gather instead —
+                # the same fixed param-sized payloads (the stratified
+                # store entry is collective-free, so no Learn-phase
+                # data-axis gather carries batch in that mode).
                 glob = r["global_bytes"]
                 shard = glob // max(g, 1)
             else:

@@ -673,6 +673,12 @@ def test_manual_learn_fp16_dynamic_scale_matches_gspmd(eight_devices):
         name: update(shard_training_manager(build(mesh_cfg), mesh))
         for name, mesh_cfg in (("manual", mesh_on), ("gspmd", mesh_off))
     }
+    # ZeRO moment sharding composes with the DynamicScale path (the
+    # scaler's pmean'd global grads psum_scatter into an order-safe
+    # slice; _zero_sharded_opt_update docstring).
+    mesh_zero = mlt.MeshConfig(data=2, policy=1, zero_opt_state=True)
+    assert build(mesh_zero).cfg.mesh.zero_rows == 2
+    outs["zero"] = update(shard_training_manager(build(mesh_zero), mesh))
 
     # The scaler stepped finitely through both minibatches (64 sequences /
     # minibatch_size 32) on both paths, identically.
@@ -692,6 +698,14 @@ def test_manual_learn_fp16_dynamic_scale_matches_gspmd(eight_devices):
             rtol=2e-2, atol=2e-3),
         jax.device_get(outs["manual"].state.policy_states.params),
         jax.device_get(outs["gspmd"].state.policy_states.params))
+    # zero vs manual: same region, only the optimizer step's layout
+    # differs — tighter than the cross-implementation comparison above.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=1e-4),
+        jax.device_get(outs["zero"].state.policy_states.params),
+        jax.device_get(outs["manual"].state.policy_states.params))
 
 
 def test_manual_learn_always_engages(eight_devices):
@@ -1026,6 +1040,122 @@ def test_manual_learn_model_axis_matches_gspmd(eight_devices):
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
         jax.device_get(outs["manual"].state.policy_states.params),
         jax.device_get(outs["gspmd"].state.policy_states.params))
+
+
+def test_zero_opt_state_matches_replicated(eight_devices):
+    """ZeRO optimizer-state sharding (MeshConfig.zero_opt_state): the Adam
+    moments live sharded 1/R over the learn region's replica axes
+    (data x model) in the chunked [P, R, chunk] layout, and two chained
+    updates must equal the replicated-moments manual region down to
+    params AND down to the reassembled moments (the math is elementwise;
+    only reduction order differs). Also pins the layout: chunk shapes at
+    init, and the moment leaves' placed sharding actually partitioning
+    the chunk axis R-ways."""
+    import optax
+
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+    from madrona_learn_tpu.train_state import map_adam_moments
+
+    num_worlds = 32
+    dtype = jnp.float32
+
+    def build(mesh_cfg):
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=31))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=RecurrentBackboneEncoder(
+                    net=MLP(num_channels=128, num_layers=1, dtype=dtype),
+                    rnn=LSTM(num_hidden_channels=64, num_layers=1,
+                             dtype=dtype))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=2,
+            actions=actions, steps_per_update=8, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=31,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=32,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            mesh=mesh_cfg)
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mesh_zero = mlt.MeshConfig(data=2, policy=1, model=2,
+                               zero_opt_state=True)
+    mesh_base = mlt.MeshConfig(data=2, policy=1, model=2)
+    assert mesh_zero.zero_rows == 4 and mesh_base.zero_rows == 1
+    # Gate sanity: the flag is inert without the manual region.
+    assert mlt.MeshConfig(data=2, policy=1, model=2, manual_learn=False,
+                          zero_opt_state=True).zero_rows == 1
+    assert mlt.MeshConfig(zero_opt_state=True).zero_rows == 1
+
+    def adam_state(mgr):
+        return [s for s in jax.tree.leaves(
+            mgr.state.train_states.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            if isinstance(s, optax.ScaleByAdamState)][0]
+
+    update = jax.jit(lambda m: m.update_iter())
+    mesh = make_mesh(mesh_zero, eight_devices[:4])
+
+    outs = {}
+    for name, mesh_cfg in (("zero", mesh_zero), ("base", mesh_base)):
+        mgr = shard_training_manager(build(mesh_cfg), mesh)
+        if name == "zero":
+            # Init layout: every moment leaf is [P=1, R=4, chunk] and its
+            # placed sharding slices the chunk axis 4 ways.
+            for leaf in jax.tree.leaves(adam_state(mgr).mu):
+                assert leaf.ndim == 3 and leaf.shape[:2] == (1, 4), \
+                    leaf.shape
+                assert leaf.sharding.shard_shape(leaf.shape)[1] == 1, \
+                    leaf.sharding
+        outs[name] = update(update(mgr))
+
+    np.testing.assert_allclose(
+        np.asarray(outs["zero"].metrics.metrics["Loss"].mean),
+        np.asarray(outs["base"].metrics.metrics["Loss"].mean),
+        rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        jax.device_get(outs["zero"].state.policy_states.params),
+        jax.device_get(outs["base"].state.policy_states.params))
+
+    # The sharded moments, reassembled, equal the replicated ones.
+    def unchunk(c, like):
+        flat = np.asarray(c).reshape(c.shape[0], -1)  # [P, R*chunk]
+        return flat[:, :int(np.prod(like.shape[1:]))].reshape(like.shape)
+
+    for field in ("mu", "nu"):
+        got = jax.tree.map(
+            unchunk, getattr(adam_state(outs["zero"]), field),
+            jax.device_get(getattr(adam_state(outs["base"]), field)))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, np.asarray(b), rtol=1e-4, atol=1e-6),
+            got, jax.device_get(getattr(adam_state(outs["base"]), field)))
+
+    # The chunk layout survived the chained updates and stayed sharded.
+    for leaf in jax.tree.leaves(adam_state(outs["zero"]).mu):
+        assert leaf.shape[:2] == (1, 4), leaf.shape
+        assert leaf.sharding.shard_shape(leaf.shape)[1] == 1, leaf.sharding
 
 
 @pytest.mark.parametrize("mode", ["filter", "importance"])
