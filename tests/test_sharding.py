@@ -1158,6 +1158,85 @@ def test_zero_opt_state_matches_replicated(eight_devices):
         assert leaf.sharding.shard_shape(leaf.shape)[1] == 1, leaf.sharding
 
 
+def test_zero_opt_state_ckpt_roundtrip(eight_devices, tmp_path):
+    """The chunked + replica-sharded Adam moment layout must survive an
+    orbax save/load: restored moments bit-equal the saved ones (global
+    arrays reassembled from shards) and training continues from the
+    restored state."""
+    import os
+
+    import optax
+
+    from madrona_learn_tpu.envs import ToyEnvConfig, make_toy_env
+    from madrona_learn_tpu.models import (
+        ActorCritic, BackboneShared, DenseLayerCritic,
+        DenseLayerDiscreteActor, DictActor, LSTM, MLP,
+        RecurrentBackboneEncoder)
+
+    num_worlds = 32
+    dtype = jnp.float32
+
+    def build():
+        actions = {"move": mlt.DiscreteActionsConfig(
+            actions_num_buckets=[5])}
+        sim_fns = make_toy_env(ToyEnvConfig(
+            num_worlds=num_worlds, episode_len=20, grid_size=5, seed=37))
+        ac = ActorCritic(
+            backbone=BackboneShared(
+                prefix=lambda obs, train: jnp.concatenate(
+                    [obs["delta"], obs["time"]], axis=-1),
+                encoder=RecurrentBackboneEncoder(
+                    net=MLP(num_channels=32, num_layers=1, dtype=dtype),
+                    rnn=LSTM(num_hidden_channels=32, num_layers=1,
+                             dtype=dtype))),
+            actor=DictActor(heads={"move": DenseLayerDiscreteActor(
+                cfg=actions["move"], dtype=dtype)}),
+            critic=DenseLayerCritic(dtype=dtype))
+        policy = mlt.Policy(
+            actor_critic=ac,
+            obs_preprocess=mlt.ObservationsCaster.create(dtype=dtype))
+        cfg = mlt.TrainConfig(
+            num_worlds=num_worlds, num_agents_per_world=1, num_updates=2,
+            actions=actions, steps_per_update=8, num_bptt_chunks=2,
+            lr=1e-3, gamma=0.99, gae_lambda=0.95, seed=37,
+            metrics_buffer_size=1,
+            algo=mlt.PPOConfig(
+                num_epochs=1, minibatch_size=32,
+                clip_coef=0.2, value_loss_coef=0.5, entropy_coef=0.01,
+                max_grad_norm=0.5),
+            dreamer_v3_critic=False,
+            mesh=mlt.MeshConfig(data=2, policy=1, zero_opt_state=True))
+        return mlt.init_training(
+            None, cfg, sim_fns, policy,
+            init_sim_ctrl=jnp.zeros((1,), jnp.int32))
+
+    mesh = make_mesh(mlt.MeshConfig(data=2, policy=1), eight_devices[:2])
+    update = jax.jit(lambda m: m.update_iter())
+    mgr = update(shard_training_manager(build(), mesh))
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    mgr.save_ckpt(ckpt_dir)
+    restored = shard_training_manager(build(), mesh).load_ckpt(
+        os.path.join(ckpt_dir, "1"))
+
+    def moments(m):
+        return [s for s in jax.tree.leaves(
+            m.state.train_states.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            if isinstance(s, optax.ScaleByAdamState)][0]
+
+    for field in ("mu", "nu"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            jax.device_get(getattr(moments(mgr), field)),
+            jax.device_get(getattr(moments(restored), field)))
+
+    # Training continues from the restored sharded state.
+    restored = update(restored)
+    assert int(restored.update_idx) == 2
+
+
 @pytest.mark.parametrize("mode", ["filter", "importance"])
 def test_manual_learn_minibatch_modes_match_gspmd(eight_devices, mode):
     """Advantage filtering and trajectory importance sampling are no
